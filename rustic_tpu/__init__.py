@@ -1,0 +1,31 @@
+"""rustic_tpu — a TPU-native wavefront path-tracing framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capability surface of
+pema99/rust-path-tracer ("rustic"): a physically-based, progressive path
+tracer with PBR materials, next-event estimation with MIS, texture
+atlasing, procedural & HDR skyboxes, and BVH-accelerated ray traversal.
+
+Architecture (TPU-first, not a port):
+
+- The reference runs one divergent megakernel per pixel
+  (reference: kernels/src/lib.rs:21). We instead run a *wavefront*
+  integrator over a flat SoA batch of paths, advanced bounce-by-bounce
+  with masked lanes (rustic_tpu/ops/trace.py).
+- Ray/triangle intersection is reformulated as one fused matmul on the
+  MXU ("flash intersection", rustic_tpu/ops/intersect.py) with an
+  online min-reduction over triangle tiles; a vectorized BVH traversal
+  (lax.while_loop over per-lane short stacks) covers large scenes.
+- Scene preprocessing (GLB load, binned-SAH BVH, texture atlas, alias
+  light table) is host-side NumPy/C++ (rustic_tpu/scene/).
+- Multi-chip scaling is data-parallel over paths via shard_map on a
+  jax.sharding.Mesh (rustic_tpu/parallel/).
+"""
+
+__version__ = "0.1.0"
+
+from rustic_tpu.config import (  # noqa: F401
+    NextEventEstimation,
+    RenderSettings,
+    TracingConfig,
+    Tonemapping,
+)

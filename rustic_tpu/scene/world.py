@@ -1,0 +1,267 @@
+"""World assembly: GLB -> (BVH, light table, atlas, SoA device arrays).
+
+The analog of the reference's `World::from_path` / `World::into_gpu`
+pipeline (reference: src/asset.rs:55-235): load the scene, pack
+textures, build the BVH (reordering the triangle buffer), build the
+light-pick table from the *reordered* triangles, and upload flat arrays
+to the device once. Scene data is read-only and replicated across chips.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+from flax import struct
+
+from rustic_tpu.scene import atlas as atlas_mod
+from rustic_tpu.scene import bvh as bvh_mod
+from rustic_tpu.scene import light_table as lt_mod
+from rustic_tpu.scene.gltf import GltfScene, load_glb
+
+ATLAS_SIZE = 4096  # reference: src/asset.rs:177
+
+
+class SceneArrays(struct.PyTreeNode):
+    """Device-resident scene: everything the integrator needs, SoA.
+
+    The capability twin of the reference's GpuWorld (src/asset.rs:18-25)
+    plus the precomputed "flash intersection" triangle features.
+    """
+
+    # geometry (per vertex)
+    positions: jnp.ndarray  # [V, 3] f32
+    normals: jnp.ndarray  # [V, 3] f32
+    tangents: jnp.ndarray  # [V, 3] f32
+    uv0: jnp.ndarray  # [V, 2] f32
+    # triangles
+    tri_vidx: jnp.ndarray  # [T, 3] i32 vertex indices
+    tri_mat: jnp.ndarray  # [T] i32 material index
+    # brute-force (MXU) intersection features: see ops/intersect.py
+    tri_feats: jnp.ndarray  # [10, T, 4] f32
+    # BVH (SoA; leaf iff count > 0)
+    bvh_min: jnp.ndarray  # [N, 3] f32
+    bvh_max: jnp.ndarray  # [N, 3] f32
+    bvh_left_first: jnp.ndarray  # [N] i32
+    bvh_count: jnp.ndarray  # [N] i32
+    # materials (each row is a color OR an atlas uvst rect;
+    # has_texture flags say which — reference shared_structs/src/lib.rs:44-90)
+    mat_emissive: jnp.ndarray  # [M, 3] f32
+    mat_albedo: jnp.ndarray  # [M, 4] f32
+    mat_roughness: jnp.ndarray  # [M, 4] f32
+    mat_metallic: jnp.ndarray  # [M, 4] f32
+    mat_normals: jnp.ndarray  # [M, 4] f32
+    mat_has_tex: jnp.ndarray  # [M, 4] i32 (albedo, metallic, roughness, normal)
+    # light-pick alias table (SoA LightPickEntry,
+    # reference shared_structs/src/lib.rs:102-119)
+    light_idx_a: jnp.ndarray  # [L] i32
+    light_area_a: jnp.ndarray  # [L] f32
+    light_pdf_a: jnp.ndarray  # [L] f32
+    light_idx_b: jnp.ndarray  # [L] i32
+    light_area_b: jnp.ndarray  # [L] f32
+    light_pdf_b: jnp.ndarray  # [L] f32
+    light_ratio: jnp.ndarray  # [L] f32 (<0 => sentinel)
+    # images
+    atlas: jnp.ndarray  # [Ha, Wa, 4] f32
+    skybox: jnp.ndarray  # [Hs, Ws, 4] f32
+
+    # static metadata
+    n_tris: int = struct.field(pytree_node=False, default=0)
+    n_nodes: int = struct.field(pytree_node=False, default=0)
+    has_lights: bool = struct.field(pytree_node=False, default=False)
+
+
+def _triangle_features(
+    verts: np.ndarray, tri_vidx: np.ndarray
+) -> np.ndarray:
+    """Per-triangle feature tensor G[10, T, 4] for MXU intersection.
+
+    The Möller–Trumbore scalars for every (ray, triangle) pair factor as
+    one matmul F @ G with ray features F = [rd, ro×rd, ro, 1] (10) and
+    per-triangle columns (det, u_num, v_num, t_num):
+
+        det   = -rd·n                  (n = e1×e2)
+        u_num =  (ro×rd)·e2 + rd·(a×e2)
+        v_num = -(ro×rd)·e1 + rd·(e1×a)
+        t_num =  ro·n - a·n
+
+    with u = u_num/det, v = v_num/det, t = t_num/det — algebraically the
+    same Möller–Trumbore the reference evaluates per pixel
+    (reference: kernels/src/intersection.rs:9-54), restructured so the
+    pair-wise work is a single [B,10]x[10,4T] contraction on the MXU.
+    """
+    a = verts[tri_vidx[:, 0]].astype(np.float64)
+    b = verts[tri_vidx[:, 1]].astype(np.float64)
+    c = verts[tri_vidx[:, 2]].astype(np.float64)
+    e1 = b - a
+    e2 = c - a
+    n = np.cross(e1, e2)
+    d0 = np.sum(a * n, axis=-1)
+
+    t_count = len(tri_vidx)
+    g = np.zeros((10, t_count, 4), np.float32)
+    g[0:3, :, 0] = -n.T
+    g[0:3, :, 1] = np.cross(a, e2).T
+    g[3:6, :, 1] = e2.T
+    g[0:3, :, 2] = np.cross(e1, a).T
+    g[3:6, :, 2] = -e1.T
+    g[6:9, :, 3] = n.T
+    g[9, :, 3] = -d0
+    return g
+
+
+def _fallback_skybox() -> np.ndarray:
+    """2x2 magenta fallback (reference: src/asset.rs:275-289)."""
+    px = np.array([1.0, 0.0, 1.0, 1.0], np.float32)
+    return np.tile(px, (2, 2, 1))
+
+
+def load_skybox_image(path: str) -> np.ndarray:
+    """Load an equirect skybox (HDR or LDR) to float32 [H, W, 4]
+    (reference: src/asset.rs:238-255)."""
+    if path.lower().endswith((".hdr", ".exr")):
+        import imageio.v3 as iio
+
+        img = np.asarray(iio.imread(path), np.float32)
+        if img.ndim == 2:
+            img = img[..., None].repeat(3, axis=-1)
+        if img.shape[-1] == 3:
+            img = np.concatenate(
+                [img, np.ones_like(img[..., :1])], axis=-1
+            )
+        return img
+    from PIL import Image
+
+    pil = Image.open(path).convert("RGBA")
+    return np.asarray(pil, np.float32) / 255.0
+
+
+class World:
+    """Host-side scene bundle (NumPy) with `.to_device()` upload."""
+
+    def __init__(self, gltf: GltfScene, atlas_size: int = ATLAS_SIZE):
+        self.positions = gltf.positions
+        self.normals = gltf.normals
+        self.tangents = gltf.tangents
+        self.uv0 = gltf.uv0
+        triangles = gltf.triangles.copy()
+
+        # ---- texture atlas --------------------------------------------------
+        n_mats = len(gltf.materials)
+        mat_emissive = np.zeros((n_mats, 3), np.float32)
+        mat_albedo = np.zeros((n_mats, 4), np.float32)
+        mat_roughness = np.zeros((n_mats, 4), np.float32)
+        mat_metallic = np.zeros((n_mats, 4), np.float32)
+        mat_normals = np.zeros((n_mats, 4), np.float32)
+        mat_has_tex = np.zeros((n_mats, 4), np.int32)
+
+        textures: List[np.ndarray] = []
+        slots = []  # (material_index, field) in texture load order
+        for mi, m in enumerate(gltf.materials):
+            mat_albedo[mi] = m.base_color
+            mat_roughness[mi] = m.roughness
+            mat_metallic[mi] = m.metallic
+            mat_emissive[mi] = m.emissive
+            for field, tex in (
+                ("albedo", m.albedo_texture),
+                ("metallic", m.metallic_texture),
+                ("roughness", m.roughness_texture),
+                ("normal", m.normal_texture),
+            ):
+                if tex is not None:
+                    textures.append(tex)
+                    slots.append((mi, field))
+
+        if textures:
+            atlas_img, sts = atlas_mod.pack_textures(
+                textures, atlas_size, atlas_size
+            )
+        else:
+            atlas_img, sts = np.zeros((4, 4, 4), np.float32), []
+
+        # Substitute uvst rects into the material color slots
+        # (reference: src/asset.rs:179-192)
+        field_col = {"albedo": 0, "metallic": 1, "roughness": 2, "normal": 3}
+        for (mi, field), uvst in zip(slots, sts):
+            mat_has_tex[mi, field_col[field]] = 1
+            if field == "albedo":
+                mat_albedo[mi] = uvst
+            elif field == "metallic":
+                mat_metallic[mi] = uvst
+            elif field == "roughness":
+                mat_roughness[mi] = uvst
+            else:
+                mat_normals[mi] = uvst
+
+        # ---- BVH (reorders triangles) --------------------------------------
+        self.bvh, perm = bvh_mod.build_bvh(self.positions, triangles)
+        triangles = triangles[perm]
+        self.triangles = triangles
+
+        # ---- light table (on reordered triangles, like the reference:
+        # src/asset.rs:194-203 builds BVH first, then the light table) -------
+        mask = lt_mod.compute_emissive_mask(triangles, mat_emissive)
+        self.light_table = lt_mod.build_light_table(
+            self.positions, triangles, mask, mat_emissive
+        )
+
+        self.mat_emissive = mat_emissive
+        self.mat_albedo = mat_albedo
+        self.mat_roughness = mat_roughness
+        self.mat_metallic = mat_metallic
+        self.mat_normals = mat_normals
+        self.mat_has_tex = mat_has_tex
+        self.atlas = atlas_img
+
+        self.tri_feats = _triangle_features(self.positions, triangles[:, :3])
+
+    @classmethod
+    def from_path(cls, path: str) -> "World":
+        return cls(load_glb(path))
+
+    def to_device(self, skybox: Optional[np.ndarray] = None) -> SceneArrays:
+        lt = self.light_table
+        return SceneArrays(
+            positions=jnp.asarray(self.positions),
+            normals=jnp.asarray(self.normals),
+            tangents=jnp.asarray(self.tangents),
+            uv0=jnp.asarray(self.uv0),
+            tri_vidx=jnp.asarray(self.triangles[:, :3], jnp.int32),
+            tri_mat=jnp.asarray(self.triangles[:, 3], jnp.int32),
+            tri_feats=jnp.asarray(self.tri_feats),
+            bvh_min=jnp.asarray(self.bvh.aabb_min),
+            bvh_max=jnp.asarray(self.bvh.aabb_max),
+            bvh_left_first=jnp.asarray(self.bvh.left_first),
+            bvh_count=jnp.asarray(self.bvh.count),
+            mat_emissive=jnp.asarray(self.mat_emissive),
+            mat_albedo=jnp.asarray(self.mat_albedo),
+            mat_roughness=jnp.asarray(self.mat_roughness),
+            mat_metallic=jnp.asarray(self.mat_metallic),
+            mat_normals=jnp.asarray(self.mat_normals),
+            mat_has_tex=jnp.asarray(self.mat_has_tex),
+            light_idx_a=jnp.asarray(lt.idx_a),
+            light_area_a=jnp.asarray(lt.area_a),
+            light_pdf_a=jnp.asarray(lt.pdf_a),
+            light_idx_b=jnp.asarray(lt.idx_b),
+            light_area_b=jnp.asarray(lt.area_b),
+            light_pdf_b=jnp.asarray(lt.pdf_b),
+            light_ratio=jnp.asarray(lt.ratio),
+            atlas=jnp.asarray(self.atlas),
+            skybox=jnp.asarray(
+                skybox if skybox is not None else _fallback_skybox()
+            ),
+            n_tris=len(self.triangles),
+            n_nodes=self.bvh.n_nodes,
+            has_lights=not lt.is_sentinel,
+        )
+
+
+def load_scene(
+    scene_path: str, skybox_path: Optional[str] = None
+) -> SceneArrays:
+    """Convenience: GLB path (+ optional skybox image path) -> device arrays."""
+    world = World.from_path(scene_path)
+    skybox = load_skybox_image(skybox_path) if skybox_path else None
+    return world.to_device(skybox)
