@@ -1,0 +1,89 @@
+"""Headline benchmark: DarkCornell 1280x720 @ 160 spp — the reference's
+own perf-regression case (reference: benches/benchmark.rs:17, 2.408 s on
+the author's GPU => ~61.2 M camera-paths/s).
+
+Prints ONE JSON line:
+  {"metric": "Mpaths/s", "value": N, "unit": "Mpaths/s", "vs_baseline": N}
+
+vs_baseline is steady-state camera-path throughput divided by the
+reference GPU's 61.2 Mpaths/s. Secondary fields record wall/compile/
+scene-build splits and the furnace correctness probe.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+WIDTH, HEIGHT, SPP = 1280, 720, 160
+BASELINE_MPATHS = 61.2  # 1280*720*160 / 2.408s (benches/benchmark.rs:17)
+
+
+def main():
+    t_start = time.time()
+    import jax
+
+    from rustic_tpu.config import NextEventEstimation, RenderSettings, TracingConfig
+    from rustic_tpu.runtime.render import render_image, render_pixels
+    from rustic_tpu.scene.world import World
+
+    backend = jax.default_backend()
+
+    t0 = time.time()
+    world = World.from_path("assets/scenes/DarkCornell.glb")
+    scene = world.to_device()
+    scene_build_s = time.time() - t0
+
+    config = TracingConfig(
+        width=WIDTH, height=HEIGHT, nee=NextEventEstimation.MIS
+    )
+    settings = RenderSettings(samples=SPP, use_blue_noise=True)
+
+    # Warmup: compiles the program (the reference ships precompiled
+    # SPIR-V; XLA compiles on first dispatch).
+    t0 = time.time()
+    warm = RenderSettings(samples=1, use_blue_noise=True, batch_pixels=settings.batch_pixels)
+    render_image(scene, config, warm)
+    warmup_s = time.time() - t0
+
+    t0 = time.time()
+    film = render_image(scene, config, settings)
+    render_s = time.time() - t0
+
+    paths = WIDTH * HEIGHT * SPP
+    mpaths_per_s = paths / render_s / 1e6
+
+    # Correctness probe: furnace gate on the same backend.
+    furnace_ok = None
+    try:
+        fw = World.from_path("assets/scenes/FurnaceTest.glb").to_device()
+        fcfg = TracingConfig(width=128, height=128)
+        probe = np.asarray(
+            render_pixels(fw, fcfg, np.array([65], np.int32), np.array([75], np.int32), 32)
+        )
+        val = float((probe[0, 0] / 32) ** (1 / 2.2))
+        furnace_ok = bool(abs(val - 0.8) < 0.02)
+    except Exception:
+        furnace_ok = False
+
+    result = {
+        "metric": "DarkCornell 1280x720x160spp camera-path throughput",
+        "value": round(mpaths_per_s, 2),
+        "unit": "Mpaths/s",
+        "vs_baseline": round(mpaths_per_s / BASELINE_MPATHS, 3),
+        "render_s": round(render_s, 3),
+        "compile_s": round(warmup_s, 2),
+        "scene_build_s": round(scene_build_s, 2),
+        "total_s": round(time.time() - t_start, 2),
+        "backend": backend,
+        "spp_per_s": round(SPP / render_s, 2),
+        "furnace_ok": furnace_ok,
+        "film_mean": round(float(film.mean()), 5),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

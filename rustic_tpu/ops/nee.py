@@ -1,0 +1,185 @@
+"""Next-event estimation: alias-table light picking, direct light
+sampling with shadow rays, and MIS bookkeeping across bounces.
+
+Capability parity with the reference device module
+(reference: kernels/src/light_pick.rs). Fully batched: every lane picks
+a light, samples a point, casts a shadow ray (vectorized any-hit), and
+the contribution is masked by eligibility (NEE mode, diffuse lobe,
+sentinel table).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from rustic_tpu.config import NextEventEstimation
+from rustic_tpu.ops import bsdf as bsdf_mod
+from rustic_tpu.ops import sampling as s
+from rustic_tpu.ops.intersect import intersect_any
+
+
+class DirectLightSample(NamedTuple):
+    """Carry-struct between bounces for the MIS BSDF side
+    (reference: kernels/src/light_pick.rs:89-98)."""
+
+    light_area: jnp.ndarray  # [B]
+    light_normal: jnp.ndarray  # [B, 3]
+    light_pick_pdf: jnp.ndarray  # [B]
+    light_emission: jnp.ndarray  # [B, 3]
+    light_triangle_index: jnp.ndarray  # [B] i32
+    throughput: jnp.ndarray  # [B, 3]
+    contribution: jnp.ndarray  # [B, 3]
+
+    @classmethod
+    def zeros(cls, batch: int) -> "DirectLightSample":
+        return cls(
+            light_area=jnp.zeros(batch, jnp.float32),
+            light_normal=jnp.zeros((batch, 3), jnp.float32),
+            light_pick_pdf=jnp.zeros(batch, jnp.float32),
+            light_emission=jnp.zeros((batch, 3), jnp.float32),
+            light_triangle_index=jnp.zeros(batch, jnp.int32),
+            throughput=jnp.zeros((batch, 3), jnp.float32),
+            contribution=jnp.zeros((batch, 3), jnp.float32),
+        )
+
+
+def pick_light(scene, r1, r2):
+    """O(1) alias-table pick (reference: kernels/src/light_pick.rs:8-16).
+
+    Returns (triangle_index, area, pick_pdf), each [B]."""
+    n = scene.light_ratio.shape[0]
+    entry = jnp.clip((r1 * n).astype(jnp.int32), 0, n - 1)
+    take_a = r2 < scene.light_ratio[entry]
+    idx = jnp.where(take_a, scene.light_idx_a[entry], scene.light_idx_b[entry])
+    area = jnp.where(take_a, scene.light_area_a[entry], scene.light_area_b[entry])
+    pdf = jnp.where(take_a, scene.light_pdf_a[entry], scene.light_pdf_b[entry])
+    return idx, area, pdf
+
+
+def pick_triangle_point(a, b, c, r1, r2):
+    """Uniform point on a triangle via sqrt warp
+    (reference: kernels/src/light_pick.rs:19-23; Osada et al. eq. 1)."""
+    r1_sqrt = jnp.sqrt(r1)[..., None]
+    r2e = r2[..., None]
+    return (1.0 - r1_sqrt) * a + (r1_sqrt * (1.0 - r2e)) * b + (r1_sqrt * r2e) * c
+
+
+def light_pdf_area_to_solid_angle(light_area, light_distance, light_normal, light_direction):
+    """r^2 / (A * cos) conversion; 0 when the light faces away
+    (reference: kernels/src/light_pick.rs:30-79)."""
+    cos_theta = s.dot(light_normal, -light_direction)
+    pdf = (light_distance * light_distance) / jnp.maximum(
+        light_area * cos_theta, 1e-20
+    )
+    return jnp.where(cos_theta > 0.0, pdf, 0.0)
+
+
+def _mis_weight(nee: NextEventEstimation, p1, p2):
+    """(reference: kernels/src/light_pick.rs:81-87)"""
+    if nee == NextEventEstimation.MIS:
+        return s.power_heuristic(p1, p2)
+    return jnp.ones_like(p1)
+
+
+def sample_direct_lighting(
+    scene,
+    nee: NextEventEstimation,
+    mat: bsdf_mod.PBRMaterial,
+    throughput,
+    surface_point,
+    surface_normal,
+    ray_direction,
+    r,  # tuple of 4 rng draws, each [B]
+    engine: str = "auto",
+) -> DirectLightSample:
+    """Direct lighting for every lane
+    (reference: kernels/src/light_pick.rs:100-173). The caller masks the
+    result by eligibility (diffuse lobe, lights present)."""
+    r1, r2, r3, r4 = r
+    light_idx, light_area, light_pick_pdf = pick_light(scene, r1, r2)
+
+    tri = scene.tri_vidx[light_idx]
+    la = scene.positions[tri[:, 0]]
+    lb = scene.positions[tri[:, 1]]
+    lc = scene.positions[tri[:, 2]]
+    # flat-shaded light normal (reference: kernels/src/light_pick.rs:129)
+    na = scene.normals[tri[:, 0]]
+    nb = scene.normals[tri[:, 1]]
+    nc = scene.normals[tri[:, 2]]
+    light_normal = (na + nb + nc) / 3.0
+    light_emission = scene.mat_emissive[scene.tri_mat[light_idx], :3]
+
+    light_point = pick_triangle_point(la, lb, lc, r3, r4)
+    delta = light_point - surface_point
+    light_distance = s.length(delta)
+    light_dir = delta / jnp.maximum(light_distance, 1e-12)[..., None]
+
+    occluded = intersect_any(
+        scene,
+        surface_point + light_dir * s.EPS,
+        light_dir,
+        light_distance - s.EPS * 2.0,
+        engine=engine,
+    )
+
+    light_pdf = light_pdf_area_to_solid_angle(
+        light_area, light_distance, light_normal, light_dir
+    )
+    view = -ray_direction
+    bsdf_attenuation = bsdf_mod.pbr_evaluate_lobe(
+        mat, view, surface_normal, light_dir, lobe_is_specular=False
+    )
+    bsdf_pdf = bsdf_mod.pbr_pdf_lobe(
+        mat, view, surface_normal, light_dir, lobe_is_specular=False
+    )
+    weight = _mis_weight(nee, light_pdf, bsdf_pdf)
+    direct = (
+        bsdf_attenuation
+        * light_emission
+        * (weight / jnp.maximum(light_pdf, 1e-20) / jnp.maximum(light_pick_pdf, 1e-20))[
+            ..., None
+        ]
+    )
+    ok = (~occluded) & (light_pdf > 0.0) & (bsdf_pdf > 0.0)
+    direct = jnp.where(ok[..., None], direct, 0.0)
+
+    return DirectLightSample(
+        light_area=light_area,
+        light_normal=light_normal,
+        light_pick_pdf=light_pick_pdf,
+        light_emission=light_emission,
+        light_triangle_index=light_idx,
+        throughput=throughput,
+        contribution=throughput * direct,
+    )
+
+
+def bsdf_mis_contribution(
+    hit_tri_idx,
+    hit_t,
+    last_pdf,
+    last_spectrum,
+    last_direction,
+    last_light: DirectLightSample,
+):
+    """BSDF-sampling side of MIS when a diffuse bounce lands on the light
+    that was sampled directly last bounce
+    (reference: kernels/src/light_pick.rs:179-199). Returns [B, 3]."""
+    same_light = hit_tri_idx == last_light.light_triangle_index
+    light_pdf = light_pdf_area_to_solid_angle(
+        last_light.light_area, hit_t, last_light.light_normal, last_direction
+    )
+    weight = s.power_heuristic(last_pdf, light_pdf)
+    direct = (
+        last_spectrum
+        * last_light.light_emission
+        * (
+            weight
+            / jnp.maximum(last_pdf, 1e-20)
+            / jnp.maximum(last_light.light_pick_pdf, 1e-20)
+        )[..., None]
+    )
+    ok = same_light & (light_pdf > 0.0)
+    return jnp.where(ok[..., None], last_light.throughput * direct, 0.0)

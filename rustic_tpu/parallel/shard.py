@@ -1,0 +1,127 @@
+"""shard_map data-parallel rendering over a jax.sharding.Mesh."""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from rustic_tpu.config import RenderSettings, StaticConfig, TracingConfig
+from rustic_tpu.ops.trace import accumulate_samples
+from rustic_tpu.runtime.render import pixel_offsets
+
+
+def make_mesh(
+    devices=None, spp_parallel: Optional[int] = None
+) -> Mesh:
+    """Build a ('px', 'spp') mesh over the available devices.
+
+    spp_parallel controls how many devices split the sample range
+    (default: 2 when the device count is even, else 1); the rest split
+    the pixel batch.
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if spp_parallel is None:
+        spp_parallel = 2 if n % 2 == 0 and n > 1 else 1
+    assert n % spp_parallel == 0, (n, spp_parallel)
+    arr = np.asarray(devices).reshape(n // spp_parallel, spp_parallel)
+    return Mesh(arr, axis_names=("px", "spp"))
+
+
+def sharded_step(
+    mesh: Mesh,
+    cfg: StaticConfig,
+    n_samples: int,
+    engine: str = "auto",
+):
+    """Compile one multi-chip render step.
+
+    Returns fn(scene, cam, px, py, offsets, sample_start, film_in)
+    -> film sums [B, 3], where B shards over 'px' and each 'spp' peer
+    integrates n_samples/|spp| samples before the psum.
+    """
+    spp_size = mesh.shape["spp"]
+    assert n_samples % spp_size == 0, (n_samples, spp_size)
+    local_samples = n_samples // spp_size
+
+    def step(scene, cam, px, py, offsets, sample_start, film_in):
+        my_spp = jax.lax.axis_index("spp").astype(jnp.uint32)
+        start = sample_start + my_spp * jnp.uint32(local_samples)
+        film = accumulate_samples(
+            scene,
+            cfg,
+            cam,
+            px,
+            py,
+            offsets,
+            start,
+            local_samples,
+            engine=engine,
+            film_in=None,
+        )
+        film = jax.lax.psum(film, axis_name="spp")
+        return film_in + film
+
+    shard = P("px")
+    mapped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(), shard, shard, shard, P(), shard),
+        out_specs=shard,
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(6,))
+
+
+@functools.lru_cache(maxsize=8)
+def _compiled_sharded(mesh_key, cfg: StaticConfig, n_samples: int, engine: str):
+    mesh = _MESHES[mesh_key]
+    return sharded_step(mesh, cfg, n_samples, engine)
+
+
+_MESHES = {}
+
+
+def render_sharded(
+    scene,
+    config: TracingConfig,
+    settings: Optional[RenderSettings] = None,
+    mesh: Optional[Mesh] = None,
+    engine: str = "auto",
+) -> np.ndarray:
+    """Full-frame multi-chip render; returns mean film [H, W, 3]."""
+    settings = settings or RenderSettings()
+    mesh = mesh or make_mesh()
+    key = id(mesh)
+    _MESHES[key] = mesh
+
+    w, h = config.width, config.height
+    n_px = w * h
+    px_shards = mesh.shape["px"]
+    pad = (-n_px) % px_shards
+
+    y, x = np.mgrid[0:h, 0:w]
+    px = np.pad(x.reshape(-1).astype(np.int32), (0, pad))
+    py = np.pad(y.reshape(-1).astype(np.int32), (0, pad))
+    offsets = np.pad(
+        pixel_offsets(w, h, settings.use_blue_noise), (0, pad)
+    )
+
+    fn = _compiled_sharded(key, config.static_part(), settings.samples, engine)
+    film = fn(
+        scene,
+        config.dynamic_part(),
+        jnp.asarray(px),
+        jnp.asarray(py),
+        jnp.asarray(offsets),
+        jnp.uint32(0),
+        jnp.zeros((len(px), 3), jnp.float32),
+    )
+    film = np.asarray(film)[:n_px] / max(settings.samples, 1)
+    return film.reshape(h, w, 3)

@@ -1,0 +1,133 @@
+"""Synchronous rendering driver.
+
+The analog of the reference's trace loop + setup_trace harness
+(reference: src/trace.rs:136-224, 331-344), minus threads: on TPU the
+"dispatch N samples then sync" pattern is one jitted program with a
+device-side fori_loop over samples (sync_rate analog), and readback
+happens once per call.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rustic_tpu.config import RenderSettings, StaticConfig, TracingConfig
+from rustic_tpu.ops.rng import pcg_hash_np
+from rustic_tpu.ops.trace import accumulate_samples
+from rustic_tpu.scene.world import SceneArrays
+
+
+def pixel_offsets(
+    width: int, height: int, use_blue_noise: bool = True
+) -> np.ndarray:
+    """Per-pixel LDS decorrelation offsets ([H*W] u32).
+
+    The reference seeds from a blue-noise texture or host RNG
+    (src/trace.rs:149-160). We generate offsets procedurally so renders
+    are reproducible: 'blue noise' mode uses interleaved gradient noise
+    (spatially well-distributed, no stored texture); uniform mode hashes
+    the pixel id.
+    """
+    y, x = np.mgrid[0:height, 0:width]
+    if use_blue_noise:
+        ign = np.mod(
+            52.9829189 * np.mod(0.06711056 * x + 0.00583715 * y, 1.0), 1.0
+        )
+        return (ign * 4294967295.0).astype(np.uint32).reshape(-1)
+    return pcg_hash_np((y * width + x).astype(np.uint32).reshape(-1))
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_accumulate(cfg: StaticConfig, n_samples: int, engine: str):
+    def fn(scene, cam, px, py, offsets, sample_start, film_in):
+        return accumulate_samples(
+            scene,
+            cfg,
+            cam,
+            px,
+            py,
+            offsets,
+            sample_start,
+            n_samples,
+            engine=engine,
+            film_in=film_in,
+        )
+
+    return jax.jit(fn, donate_argnums=(6,))
+
+
+def render_pixels(
+    scene: SceneArrays,
+    config: TracingConfig,
+    px: np.ndarray,
+    py: np.ndarray,
+    samples: int,
+    offsets: Optional[np.ndarray] = None,
+    sample_start: int = 0,
+    engine: str = "auto",
+    film_in: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Render an arbitrary pixel set; returns the film *sum* [B, 3].
+
+    Pixel subsets make cheap correctness probes possible (the furnace
+    test checks one pixel — no need to render 128^2 on CI).
+    """
+    cfg = config.static_part()
+    cam = config.dynamic_part()
+    fn = _compiled_accumulate(cfg, samples, engine)
+    if film_in is None:
+        film_in = jnp.zeros((len(px), 3), jnp.float32)
+    if offsets is None:
+        offsets = pcg_hash_np(
+            (py.astype(np.uint32) * np.uint32(config.width) + px.astype(np.uint32))
+        )
+    return fn(
+        scene,
+        cam,
+        jnp.asarray(px, jnp.int32),
+        jnp.asarray(py, jnp.int32),
+        jnp.asarray(offsets, jnp.uint32),
+        jnp.uint32(sample_start),
+        film_in,
+    )
+
+
+def render_image(
+    scene: SceneArrays,
+    config: TracingConfig,
+    settings: Optional[RenderSettings] = None,
+    engine: str = "auto",
+) -> np.ndarray:
+    """Render a full frame; returns the *mean* film [H, W, 3] float32.
+
+    Pixels are processed in megabatches of settings.batch_pixels; each
+    batch folds all samples device-side before the single readback.
+    """
+    settings = settings or RenderSettings()
+    w, h = config.width, config.height
+    offsets = pixel_offsets(w, h, settings.use_blue_noise)
+    y, x = np.mgrid[0:h, 0:w]
+    px = x.reshape(-1).astype(np.int32)
+    py = y.reshape(-1).astype(np.int32)
+
+    out = np.empty((h * w, 3), np.float32)
+    chunk = int(settings.batch_pixels)
+    for lo in range(0, h * w, chunk):
+        hi = min(lo + chunk, h * w)
+        film = render_pixels(
+            scene,
+            config,
+            px[lo:hi],
+            py[lo:hi],
+            settings.samples,
+            offsets=offsets[lo:hi],
+            engine=engine,
+        )
+        out[lo:hi] = np.asarray(film)
+    return (out / max(settings.samples, 1)).reshape(h, w, 3)

@@ -1,0 +1,52 @@
+"""Test configuration: force the JAX CPU backend with 8 virtual devices.
+
+The CPU backend is the framework's debugging twin (the same property the
+reference gets from running kernels/ on the host via rayon,
+src/trace.rs:226-327): every op in rustic_tpu is backend-agnostic JAX,
+so the full test suite runs without a TPU. The 8 virtual devices let
+sharding tests exercise real Mesh/shard_map paths.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+SCENES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "assets", "scenes")
+
+
+@pytest.fixture(scope="session")
+def furnace_world():
+    from rustic_tpu.scene.world import World
+
+    return World.from_path(os.path.join(SCENES, "FurnaceTest.glb"))
+
+
+@pytest.fixture(scope="session")
+def furnace_scene(furnace_world):
+    return furnace_world.to_device()
+
+
+@pytest.fixture(scope="session")
+def cornell_world():
+    from rustic_tpu.scene.world import World
+
+    return World.from_path(os.path.join(SCENES, "DarkCornell.glb"))
+
+
+@pytest.fixture(scope="session")
+def cornell_scene(cornell_world):
+    return cornell_world.to_device()
+
+
+def scene_path(name: str) -> str:
+    return os.path.join(SCENES, name)

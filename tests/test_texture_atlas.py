@@ -1,0 +1,70 @@
+import numpy as np
+import jax.numpy as jnp
+
+from rustic_tpu.ops.texture import sample_atlas, sample_bilinear
+from rustic_tpu.scene.atlas import pack_textures
+
+
+def test_bilinear_exact_texel_centers():
+    img = jnp.asarray(
+        np.arange(16, dtype=np.float32).reshape(4, 4, 1).repeat(4, axis=-1)
+    )
+    # uv hitting the exact texel grid point (x+0,y+0 scaled) has frac 0
+    uv = jnp.asarray([[0.25, 0.5]])  # scaled = (1.0, 2.0) -> texel (1,2)
+    out = np.asarray(sample_bilinear(img, uv))
+    np.testing.assert_allclose(out[0, 0], img[2, 1, 0], atol=1e-5)
+
+
+def test_bilinear_interpolates():
+    img = jnp.zeros((2, 2, 4)).at[0, 1].set(1.0)
+    uv = jnp.asarray([[0.75, 0.25]])  # scaled (1.5, 0.5): between texels
+    out = np.asarray(sample_bilinear(img, uv))
+    assert 0.2 < out[0, 0] < 1.0
+
+
+def test_bilinear_clamps_at_edges():
+    img = jnp.asarray(np.ones((4, 4, 4), np.float32))
+    uv = jnp.asarray([[-0.5, 1.7], [2.0, -3.0]])
+    out = np.asarray(sample_bilinear(img, uv))
+    np.testing.assert_allclose(out, 1.0, atol=1e-6)
+
+
+def test_atlas_roundtrip_single_texture():
+    """Pack one constant texture; sampling through the uvst rect must
+    return the original texel values."""
+    tex = np.zeros((8, 8, 4), np.float32)
+    tex[:] = [0.2, 0.4, 0.6, 1.0]
+    atlas, sts = pack_textures([tex], 64, 64)
+    out = np.asarray(
+        sample_atlas(jnp.asarray(atlas), jnp.asarray(sts[0]), jnp.asarray([[0.5, 0.5]]))
+    )
+    np.testing.assert_allclose(out[0], [0.2, 0.4, 0.6, 1.0], atol=2e-2)
+
+
+def test_atlas_vertical_flip():
+    """The packer flips textures vertically (reference: src/atlas.rs:85),
+    so uv.y = 0 samples the texture's *bottom* row."""
+    tex = np.zeros((8, 8, 4), np.float32)
+    tex[0, :] = 1.0  # top row of the source image
+    atlas, sts = pack_textures([tex], 64, 64)
+    top = np.asarray(
+        sample_atlas(jnp.asarray(atlas), jnp.asarray(sts[0]), jnp.asarray([[0.5, 0.97]]))
+    )
+    bottom = np.asarray(
+        sample_atlas(jnp.asarray(atlas), jnp.asarray(sts[0]), jnp.asarray([[0.5, 0.03]]))
+    )
+    assert top[0, 0] > 0.8 and bottom[0, 0] < 0.2
+
+
+def test_atlas_multiple_textures_disjoint():
+    texs = []
+    for v in [0.25, 0.5, 0.75, 1.0, 0.1]:
+        t = np.full((16, 16, 4), v, np.float32)
+        texs.append(t)
+    atlas, sts = pack_textures(texs, 128, 128)
+    assert len(sts) == 5
+    for v, uvst in zip([0.25, 0.5, 0.75, 1.0, 0.1], sts):
+        mid = np.asarray(
+            sample_atlas(jnp.asarray(atlas), jnp.asarray(uvst), jnp.asarray([[0.5, 0.5]]))
+        )
+        np.testing.assert_allclose(mid[0, 0], v, atol=2e-2)
