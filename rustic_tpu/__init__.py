@@ -23,6 +23,23 @@ Architecture (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: the integrator's compiled program is
+# large (unrolled bounce pipeline); caching makes every process after the
+# first start in seconds instead of minutes (notably bench runs).
+_cache_dir = _os.environ.get(
+    "RUSTIC_TPU_XLA_CACHE", _os.path.expanduser("~/.cache/rustic_tpu_xla")
+)
+if _cache_dir and _cache_dir != "0":
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from rustic_tpu.config import (  # noqa: F401
     NextEventEstimation,
     RenderSettings,

@@ -331,27 +331,69 @@ def occlude_bvh(scene, ro, rd, max_t) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Pallas flash engine (TPU fused kernel; interpreted elsewhere)
+# ---------------------------------------------------------------------------
+
+
+def _ray_features16(ro, rd):
+    f = _ray_features(ro, rd)
+    return jnp.pad(f, ((0, 0), (0, 6)))
+
+
+def intersect_flash(scene, ro, rd, interpret: bool = False) -> TraceResult:
+    """Nearest hit via the fused Pallas kernel (ops/flash_intersect.py),
+    then one gather to recover (u, v, backface) for the winning triangle."""
+    from rustic_tpu.ops.flash_intersect import flash_nearest
+
+    t, idx = flash_nearest(
+        _ray_features16(ro, rd), scene.tri_feats16, interpret=interpret
+    )
+    idx = jnp.clip(idx, 0, scene.tri_vidx.shape[0] - 1)
+    hit = t < BIG
+    vidx = scene.tri_vidx[idx]
+    a = scene.positions[vidx[:, 0]]
+    b = scene.positions[vidx[:, 1]]
+    c = scene.positions[vidx[:, 2]]
+    _, u, v, backface, _ = _mt_single(a, b, c, ro, rd)
+    return TraceResult(t, idx, hit, backface & hit, u, v)
+
+
+def occlude_flash(scene, ro, rd, max_t, interpret: bool = False) -> jnp.ndarray:
+    from rustic_tpu.ops.flash_intersect import flash_occlude
+
+    return flash_occlude(
+        _ray_features16(ro, rd), max_t, scene.tri_feats16, interpret=interpret
+    )
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
 
-def use_brute_force(scene, engine: str = "auto") -> bool:
-    if engine == "brute":
-        return True
-    if engine == "bvh":
-        return False
-    return scene.n_tris <= BRUTE_FORCE_MAX_TRIS
+def _pick_engine(scene, engine: str) -> str:
+    if engine != "auto":
+        return engine
+    if jax.default_backend() == "tpu":
+        return "flash"
+    return "brute" if scene.n_tris <= BRUTE_FORCE_MAX_TRIS else "bvh"
 
 
 def intersect_nearest(scene, ro, rd, engine: str = "auto") -> TraceResult:
     """Nearest hit (reference: kernels/src/intersection.rs:169-171)."""
-    if use_brute_force(scene, engine):
+    engine = _pick_engine(scene, engine)
+    if engine == "flash":
+        return intersect_flash(scene, ro, rd, interpret=jax.default_backend() != "tpu")
+    if engine == "brute":
         return intersect_brute(scene.tri_feats, ro, rd)
     return intersect_bvh(scene, ro, rd)
 
 
 def intersect_any(scene, ro, rd, max_t, engine: str = "auto") -> jnp.ndarray:
     """Occlusion within (EPS, max_t] (reference: kernels/src/intersection.rs:173-175)."""
-    if use_brute_force(scene, engine):
+    engine = _pick_engine(scene, engine)
+    if engine == "flash":
+        return occlude_flash(scene, ro, rd, max_t, interpret=jax.default_backend() != "tpu")
+    if engine == "brute":
         return occlude_brute(scene.tri_feats, ro, rd, max_t)
     return occlude_bvh(scene, ro, rd, max_t)

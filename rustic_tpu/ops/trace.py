@@ -267,13 +267,16 @@ def accumulate_samples(
     py: jnp.ndarray,
     offsets: jnp.ndarray,
     sample_start,
-    n_samples: int,
+    n_samples,
     engine: str = "auto",
     film_in: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Fold n_samples into a film-sum buffer on device — the analog of
     the reference's sync_rate dispatch loop (src/trace.rs:177-195) with
-    accumulation kept device-side."""
+    accumulation kept device-side.
+
+    n_samples may be a traced value: the loop bound is dynamic, so one
+    compiled program serves every sample count."""
     batch = px.shape[0]
     film0 = film_in if film_in is not None else jnp.zeros((batch, 3), jnp.float32)
 

@@ -44,8 +44,12 @@ def pixel_offsets(
 
 
 @functools.lru_cache(maxsize=32)
-def _compiled_accumulate(cfg: StaticConfig, n_samples: int, engine: str):
-    def fn(scene, cam, px, py, offsets, sample_start, film_in):
+def _compiled_accumulate(cfg: StaticConfig, engine: str):
+    """One compiled program per (static config, engine); the sample count
+    and start index are runtime values, so progressive rendering and any
+    spp reuse the same executable."""
+
+    def fn(scene, cam, px, py, offsets, sample_start, n_samples, film_in):
         return accumulate_samples(
             scene,
             cfg,
@@ -59,7 +63,7 @@ def _compiled_accumulate(cfg: StaticConfig, n_samples: int, engine: str):
             film_in=film_in,
         )
 
-    return jax.jit(fn, donate_argnums=(6,))
+    return jax.jit(fn, donate_argnums=(7,))
 
 
 def render_pixels(
@@ -80,7 +84,7 @@ def render_pixels(
     """
     cfg = config.static_part()
     cam = config.dynamic_part()
-    fn = _compiled_accumulate(cfg, samples, engine)
+    fn = _compiled_accumulate(cfg, engine)
     if film_in is None:
         film_in = jnp.zeros((len(px), 3), jnp.float32)
     if offsets is None:
@@ -94,6 +98,7 @@ def render_pixels(
         jnp.asarray(py, jnp.int32),
         jnp.asarray(offsets, jnp.uint32),
         jnp.uint32(sample_start),
+        jnp.int32(samples),
         film_in,
     )
 
@@ -116,10 +121,19 @@ def render_image(
     px = x.reshape(-1).astype(np.int32)
     py = y.reshape(-1).astype(np.int32)
 
-    out = np.empty((h * w, 3), np.float32)
-    chunk = int(settings.batch_pixels)
-    for lo in range(0, h * w, chunk):
-        hi = min(lo + chunk, h * w)
+    n_px = h * w
+    chunk = min(int(settings.batch_pixels), n_px)
+    # Pad to a whole number of chunks so every dispatch shares one
+    # compiled shape.
+    pad = (-n_px) % chunk
+    if pad:
+        px = np.pad(px, (0, pad))
+        py = np.pad(py, (0, pad))
+        offsets = np.pad(offsets, (0, pad))
+
+    out = np.empty((n_px + pad, 3), np.float32)
+    for lo in range(0, n_px + pad, chunk):
+        hi = lo + chunk
         film = render_pixels(
             scene,
             config,
@@ -130,4 +144,4 @@ def render_image(
             engine=engine,
         )
         out[lo:hi] = np.asarray(film)
-    return (out / max(settings.samples, 1)).reshape(h, w, 3)
+    return (out[:n_px] / max(settings.samples, 1)).reshape(h, w, 3)

@@ -41,6 +41,8 @@ class SceneArrays(struct.PyTreeNode):
     tri_mat: jnp.ndarray  # [T] i32 material index
     # brute-force (MXU) intersection features: see ops/intersect.py
     tri_feats: jnp.ndarray  # [10, T, 4] f32
+    # Pallas flash-intersection layout: see ops/flash_intersect.py
+    tri_feats16: jnp.ndarray  # [4, 16, T_pad] f32
     # BVH (SoA; leaf iff count > 0)
     bvh_min: jnp.ndarray  # [N, 3] f32
     bvh_max: jnp.ndarray  # [N, 3] f32
@@ -216,6 +218,9 @@ class World:
         self.atlas = atlas_img
 
         self.tri_feats = _triangle_features(self.positions, triangles[:, :3])
+        from rustic_tpu.ops.flash_intersect import pack_tri_feats16
+
+        self.tri_feats16 = pack_tri_feats16(self.tri_feats)
 
     @classmethod
     def from_path(cls, path: str) -> "World":
@@ -231,6 +236,7 @@ class World:
             tri_vidx=jnp.asarray(self.triangles[:, :3], jnp.int32),
             tri_mat=jnp.asarray(self.triangles[:, 3], jnp.int32),
             tri_feats=jnp.asarray(self.tri_feats),
+            tri_feats16=jnp.asarray(self.tri_feats16),
             bvh_min=jnp.asarray(self.bvh.aabb_min),
             bvh_max=jnp.asarray(self.bvh.aabb_max),
             bvh_left_first=jnp.asarray(self.bvh.left_first),

@@ -1,0 +1,66 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rustic_tpu.config import NextEventEstimation, RenderSettings, TracingConfig
+from rustic_tpu.parallel.shard import make_mesh, render_sharded, sharded_step
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return TracingConfig(
+        width=16, height=16, max_bounces=2, nee=NextEventEstimation.MIS
+    )
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape["px"] * mesh.shape["spp"] == 8
+    mesh1 = make_mesh(spp_parallel=1)
+    assert mesh1.shape["spp"] == 1
+    mesh4 = make_mesh(spp_parallel=4)
+    assert mesh4.shape == {"px": 2, "spp": 4}
+
+
+def test_sharded_matches_single_device(cornell_scene, cfg):
+    """The mesh-parallel render must equal the single-device render
+    bit-for-bit-ish: the sampler is a pure function of (pixel, sample),
+    so the split across devices cannot change the result."""
+    from rustic_tpu.runtime.render import render_image
+
+    settings = RenderSettings(samples=4, use_blue_noise=True)
+    single = render_image(cornell_scene, cfg, settings)
+    for spp_par in (1, 2, 4):
+        mesh = make_mesh(spp_parallel=spp_par)
+        multi = render_sharded(cornell_scene, cfg, settings, mesh=mesh)
+        np.testing.assert_allclose(multi, single, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_step_film_accumulates(cornell_scene, cfg):
+    mesh = make_mesh(spp_parallel=2)
+    fn = sharded_step(mesh, cfg.static_part(), n_samples=2)
+    n_px = 64
+    px = jnp.arange(n_px, dtype=jnp.int32) % 16
+    py = jnp.arange(n_px, dtype=jnp.int32) // 16 % 16
+    offsets = jnp.zeros(n_px, jnp.uint32)
+    film0 = jnp.zeros((n_px, 3), jnp.float32)
+    film1 = fn(cornell_scene, cfg.dynamic_part(), px, py, offsets, jnp.uint32(0), film0)
+    sum1 = float(jnp.sum(film1))  # before donation to the next call
+    film2 = fn(
+        cornell_scene, cfg.dynamic_part(), px, py, offsets, jnp.uint32(2), film1
+    )
+    assert np.isfinite(np.asarray(film2)).all()
+    assert float(jnp.sum(film2)) > sum1 * 1.2
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
