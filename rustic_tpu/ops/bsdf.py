@@ -197,6 +197,40 @@ def get_pbr_material(
     )
 
 
+def material_from_attrs(
+    scene, attrs: jnp.ndarray, uv: jnp.ndarray, specular_weight_clamp
+) -> PBRMaterial:
+    """PBR parameters from the packed per-triangle shading row
+    (scene/world.py ATTR_*) — the gather-free twin of get_pbr_material.
+    Atlas fetches only happen for scenes that actually carry textures
+    (static flag), mirroring kernels/src/bsdf.rs:354-387 semantics."""
+    from rustic_tpu.scene import world as W
+
+    albedo_slot = attrs[:, W.ATTR_ALBEDO]
+    rough_slot = attrs[:, W.ATTR_ROUGH]
+    metal_slot = attrs[:, W.ATTR_METAL]
+    albedo = albedo_slot[:, :3]
+    roughness = rough_slot[:, 0]
+    metallic = metal_slot[:, 0]
+    if scene.has_textures:
+        has_tex = attrs[:, W.ATTR_HASTEX]
+        albedo_tex = sample_atlas(scene.atlas, albedo_slot, uv)[..., :3]
+        albedo = jnp.where(has_tex[:, 0:1] != 0, albedo_tex, albedo)
+        rough_tex = sample_atlas(scene.atlas, rough_slot, uv)[..., 0]
+        roughness = jnp.where(has_tex[:, 2] != 0, rough_tex, roughness)
+        metal_tex = sample_atlas(scene.atlas, metal_slot, uv)[..., 0]
+        metallic = jnp.where(has_tex[:, 1] != 0, metal_tex, metallic)
+
+    roughness = jnp.maximum(roughness, s.EPS)
+    metallic = jnp.minimum(metallic, 1.0 - s.EPS)
+    return PBRMaterial(
+        albedo=albedo,
+        roughness=roughness,
+        metallic=metallic,
+        specular_weight_clamp=specular_weight_clamp,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Lambertian (reference: kernels/src/bsdf.rs:46-105)
 # ---------------------------------------------------------------------------

@@ -340,22 +340,25 @@ def _ray_features16(ro, rd):
     return jnp.pad(f, ((0, 0), (0, 6)))
 
 
-def intersect_flash(scene, ro, rd, interpret: bool = False) -> TraceResult:
-    """Nearest hit via the fused Pallas kernel (ops/flash_intersect.py),
-    then one gather to recover (u, v, backface) for the winning triangle."""
+def intersect_flash_attrs(scene, ro, rd, interpret: bool = False):
+    """Nearest hit via the fused Pallas kernel (ops/flash_intersect.py).
+    Returns (TraceResult, attrs [B, ATTR_WIDTH]) — the winning triangle's
+    packed shading row rides out of the kernel, so shading needs no
+    gathers at all."""
     from rustic_tpu.ops.flash_intersect import flash_nearest
 
-    t, idx = flash_nearest(
-        _ray_features16(ro, rd), scene.tri_feats16, interpret=interpret
+    t, idx, u, v, det, attrs = flash_nearest(
+        _ray_features16(ro, rd),
+        scene.tri_feats16,
+        scene.tri_attrs,
+        interpret=interpret,
     )
-    idx = jnp.clip(idx, 0, scene.tri_vidx.shape[0] - 1)
     hit = t < BIG
-    vidx = scene.tri_vidx[idx]
-    a = scene.positions[vidx[:, 0]]
-    b = scene.positions[vidx[:, 1]]
-    c = scene.positions[vidx[:, 2]]
-    _, u, v, backface, _ = _mt_single(a, b, c, ro, rd)
-    return TraceResult(t, idx, hit, backface & hit, u, v)
+    return TraceResult(t, idx, hit, (det < 0.0) & hit, u, v), attrs
+
+
+def intersect_flash(scene, ro, rd, interpret: bool = False) -> TraceResult:
+    return intersect_flash_attrs(scene, ro, rd, interpret=interpret)[0]
 
 
 def occlude_flash(scene, ro, rd, max_t, interpret: bool = False) -> jnp.ndarray:

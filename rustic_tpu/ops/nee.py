@@ -48,13 +48,19 @@ class DirectLightSample(NamedTuple):
 def pick_light(scene, r1, r2):
     """O(1) alias-table pick (reference: kernels/src/light_pick.rs:8-16).
 
-    Returns (triangle_index, area, pick_pdf), each [B]."""
-    n = scene.light_ratio.shape[0]
+    One packed-row gather (scene/world.py ALIAS_*) instead of six table
+    lookups. Returns (triangle_index, area, pick_pdf), each [B]."""
+    from rustic_tpu.scene import world as W
+
+    n = scene.alias_rows.shape[0]
     entry = jnp.clip((r1 * n).astype(jnp.int32), 0, n - 1)
-    take_a = r2 < scene.light_ratio[entry]
-    idx = jnp.where(take_a, scene.light_idx_a[entry], scene.light_idx_b[entry])
-    area = jnp.where(take_a, scene.light_area_a[entry], scene.light_area_b[entry])
-    pdf = jnp.where(take_a, scene.light_pdf_a[entry], scene.light_pdf_b[entry])
+    row = scene.alias_rows[entry]
+    take_a = r2 < row[:, W.ALIAS_RATIO]
+    idx = jnp.where(
+        take_a, row[:, W.ALIAS_IDX_A], row[:, W.ALIAS_IDX_B]
+    ).astype(jnp.int32)
+    area = jnp.where(take_a, row[:, W.ALIAS_AREA_A], row[:, W.ALIAS_AREA_B])
+    pdf = jnp.where(take_a, row[:, W.ALIAS_PDF_A], row[:, W.ALIAS_PDF_B])
     return idx, area, pdf
 
 
@@ -83,7 +89,7 @@ def _mis_weight(nee: NextEventEstimation, p1, p2):
     return jnp.ones_like(p1)
 
 
-def sample_direct_lighting(
+def prepare_direct_lighting(
     scene,
     nee: NextEventEstimation,
     mat: bsdf_mod.PBRMaterial,
@@ -92,37 +98,33 @@ def sample_direct_lighting(
     surface_normal,
     ray_direction,
     r,  # tuple of 4 rng draws, each [B]
-    engine: str = "auto",
-) -> DirectLightSample:
-    """Direct lighting for every lane
-    (reference: kernels/src/light_pick.rs:100-173). The caller masks the
-    result by eligibility (diffuse lobe, lights present)."""
+):
+    """Direct-lighting candidate for every lane, *before* the visibility
+    test (reference: kernels/src/light_pick.rs:100-173 minus the
+    intersect_any call at :141). Returns
+    (DirectLightSample with unoccluded contribution,
+     (shadow_ro, shadow_rd, shadow_maxt, geometric_ok)).
+    The occlusion result is applied by the caller (see
+    ops/trace.py:bounce_post) so the shadow rays can be batched through
+    a separate traversal kernel."""
+    from rustic_tpu.scene import world as W
+
     r1, r2, r3, r4 = r
     light_idx, light_area, light_pick_pdf = pick_light(scene, r1, r2)
 
-    tri = scene.tri_vidx[light_idx]
-    la = scene.positions[tri[:, 0]]
-    lb = scene.positions[tri[:, 1]]
-    lc = scene.positions[tri[:, 2]]
+    # one packed-row gather for the light triangle's geometry + emission
+    lrow = scene.light_rows[light_idx]
+    la = lrow[:, 0:3]
+    lb = lrow[:, 3:6]
+    lc = lrow[:, 6:9]
     # flat-shaded light normal (reference: kernels/src/light_pick.rs:129)
-    na = scene.normals[tri[:, 0]]
-    nb = scene.normals[tri[:, 1]]
-    nc = scene.normals[tri[:, 2]]
-    light_normal = (na + nb + nc) / 3.0
-    light_emission = scene.mat_emissive[scene.tri_mat[light_idx], :3]
+    light_normal = lrow[:, W.LIGHT_NORMAL]
+    light_emission = lrow[:, W.LIGHT_EMISSION]
 
     light_point = pick_triangle_point(la, lb, lc, r3, r4)
     delta = light_point - surface_point
     light_distance = s.length(delta)
     light_dir = delta / jnp.maximum(light_distance, 1e-12)[..., None]
-
-    occluded = intersect_any(
-        scene,
-        surface_point + light_dir * s.EPS,
-        light_dir,
-        light_distance - s.EPS * 2.0,
-        engine=engine,
-    )
 
     light_pdf = light_pdf_area_to_solid_angle(
         light_area, light_distance, light_normal, light_dir
@@ -142,10 +144,10 @@ def sample_direct_lighting(
             ..., None
         ]
     )
-    ok = (~occluded) & (light_pdf > 0.0) & (bsdf_pdf > 0.0)
-    direct = jnp.where(ok[..., None], direct, 0.0)
+    geom_ok = (light_pdf > 0.0) & (bsdf_pdf > 0.0)
+    direct = jnp.where(geom_ok[..., None], direct, 0.0)
 
-    return DirectLightSample(
+    dls = DirectLightSample(
         light_area=light_area,
         light_normal=light_normal,
         light_pick_pdf=light_pick_pdf,
@@ -153,6 +155,36 @@ def sample_direct_lighting(
         light_triangle_index=light_idx,
         throughput=throughput,
         contribution=throughput * direct,
+    )
+    shadow = (
+        surface_point + light_dir * s.EPS,
+        light_dir,
+        light_distance - s.EPS * 2.0,
+        geom_ok,
+    )
+    return dls, shadow
+
+
+def sample_direct_lighting(
+    scene,
+    nee: NextEventEstimation,
+    mat: bsdf_mod.PBRMaterial,
+    throughput,
+    surface_point,
+    surface_normal,
+    ray_direction,
+    r,
+    engine: str = "auto",
+) -> DirectLightSample:
+    """Fused prepare + visibility (reference:
+    kernels/src/light_pick.rs:100-173 in full)."""
+    dls, shadow = prepare_direct_lighting(
+        scene, nee, mat, throughput, surface_point, surface_normal, ray_direction, r
+    )
+    occluded = intersect_any(scene, shadow[0], shadow[1], shadow[2], engine=engine)
+    lit = shadow[3] & ~occluded
+    return dls._replace(
+        contribution=jnp.where(lit[..., None], dls.contribution, 0.0)
     )
 
 

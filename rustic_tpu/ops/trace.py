@@ -6,14 +6,21 @@ batch of paths advances bounce-by-bounce in lockstep; dead lanes are
 masked, not branched around. All per-bounce stages — intersect, sky,
 emissive handling, attribute interpolation, BSDF sampling, NEE,
 russian roulette — are wide vector ops, and intersection rides the MXU
-(ops/intersect.py). One compiled program covers the entire sample.
+(ops/intersect.py, ops/flash_intersect.py).
+
+The bounce is decomposed into stage functions (`init_state`,
+`bounce_pre`, `bounce_post`) with the intersection results as explicit
+inputs/outputs. Two drivers share them:
+- `trace_paths` fuses everything into one jitted program (CPU/XLA
+  engines, tests);
+- runtime/pipeline.py stages them as separate executables around the
+  Pallas flash kernels (the TPU fast path).
 
 Bounce-level capability parity with the reference loop
-(kernels/src/lib.rs:62-183), including:
-- NEE emissive double-count avoidance and single-sided emitters,
-- MIS-weighted BSDF contribution on light hits,
-- throughput *= spectrum/pdf with NaN containment,
-- russian roulette after min_bounces by max throughput component.
+(kernels/src/lib.rs:62-183), including NEE emissive double-count
+avoidance, single-sided emitters, MIS-weighted BSDF contributions on
+light hits, throughput *= spectrum/pdf with NaN containment, and
+russian roulette after min_bounces.
 
 Low-discrepancy dimensions are assigned statically per stage: dims
 (1,2) for the AA jitter, then 8 per bounce (3 BSDF, 4 NEE, 1 roulette).
@@ -24,7 +31,7 @@ on the same dimension — the lockstep requirement.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +40,7 @@ from rustic_tpu.config import CameraParams, NextEventEstimation, StaticConfig
 from rustic_tpu.ops import bsdf as bsdf_mod
 from rustic_tpu.ops import nee as nee_mod
 from rustic_tpu.ops import sampling as s
-from rustic_tpu.ops.intersect import intersect_nearest
+from rustic_tpu.ops.intersect import TraceResult, intersect_any, intersect_nearest
 from rustic_tpu.ops.rng import lds
 from rustic_tpu.ops.skybox import sky_radiance
 from rustic_tpu.ops.texture import sample_atlas
@@ -42,12 +49,27 @@ _DIMS_PER_BOUNCE = 8
 _AA_DIMS = 2
 
 
-class PathState(NamedTuple):
+class TraceState(NamedTuple):
     ro: jnp.ndarray  # [B, 3]
     rd: jnp.ndarray  # [B, 3]
     throughput: jnp.ndarray  # [B, 3]
     radiance: jnp.ndarray  # [B, 3]
     alive: jnp.ndarray  # [B] bool
+    last_lobe_diffuse: jnp.ndarray  # [B] bool
+    last_pdf: jnp.ndarray  # [B]
+    last_spectrum: jnp.ndarray  # [B, 3]
+    last_direction: jnp.ndarray  # [B, 3]
+    last_light: nee_mod.DirectLightSample
+
+
+class NEEPack(NamedTuple):
+    """Shadow-ray request + unoccluded candidate contribution."""
+
+    shadow_ro: jnp.ndarray  # [B, 3]
+    shadow_rd: jnp.ndarray  # [B, 3]
+    shadow_maxt: jnp.ndarray  # [B]
+    contribution: jnp.ndarray  # [B, 3] throughput-weighted, pre-visibility
+    eligible: jnp.ndarray  # [B] bool
 
 
 def camera_rays(
@@ -74,22 +96,228 @@ def camera_rays(
     x = rd[..., 0]
     y = rd[..., 1]
     z = rd[..., 2]
-    # Rx
     y, z = cx * y - sx_ * z, sx_ * y + cx * z
-    # Ry
     x, z = cy * x + sy_ * z, -sy_ * x + cy * z
     rd = jnp.stack([x, y, z], axis=-1)
     ro = jnp.broadcast_to(cam.cam_position, rd.shape)
     return ro, rd
 
 
+def init_state(
+    cfg: StaticConfig, cam: CameraParams, px, py, sample_idx, offsets
+) -> TraceState:
+    batch = px.shape[0]
+    ro, rd = camera_rays(cfg, cam, px, py, sample_idx, offsets)
+    return TraceState(
+        ro=ro,
+        rd=rd,
+        throughput=jnp.ones((batch, 3), jnp.float32),
+        radiance=jnp.zeros((batch, 3), jnp.float32),
+        alive=jnp.ones(batch, bool),
+        last_lobe_diffuse=jnp.zeros(batch, bool),
+        last_pdf=jnp.ones(batch, jnp.float32),
+        last_spectrum=jnp.zeros((batch, 3), jnp.float32),
+        last_direction=rd,
+        last_light=nee_mod.DirectLightSample.zeros(batch),
+    )
+
+
 def _where_tuple(mask, new, old):
-    """Per-field select for NamedTuples of arrays ([B] or [B, k])."""
     out = []
     for n, o in zip(new, old):
         m = mask if n.ndim == 1 else mask[..., None]
         out.append(jnp.where(m, n, o))
     return type(new)(*out)
+
+
+def bounce_pre(
+    scene,
+    cfg: StaticConfig,
+    cam: CameraParams,
+    bounce: int,
+    st: TraceState,
+    res: TraceResult,
+    sample_idx,
+    offsets,
+    attrs: Optional[jnp.ndarray] = None,
+) -> Tuple[TraceState, Optional[NEEPack]]:
+    """Everything in one bounce except the shadow-ray visibility test:
+    sky, emissive termination/MIS, attribute interpolation, BSDF sample,
+    NEE candidate preparation, throughput/ray update, roulette.
+
+    Shading reads the hit triangle's packed row (scene/world.py ATTR_*):
+    the flash engine emits it from the kernel (`attrs`); other engines
+    fall back to one row gather — either way there is exactly one
+    indexed fetch on the shading path.
+
+    Returns the advanced state and (when NEE is active) the shadow-ray
+    request; `bounce_post` folds the visibility result in.
+    """
+    from rustic_tpu.scene import world as W
+
+    batch = st.ro.shape[0]
+    nee = cfg.nee
+    uses_nee = nee.uses_nee and scene.has_lights
+    dim0 = _AA_DIMS + bounce * _DIMS_PER_BOUNCE + 1
+    ro, rd = st.ro, st.rd
+    throughput = st.throughput
+    radiance = st.radiance
+
+    if attrs is None:
+        attrs = scene.tri_attrs[jnp.clip(res.tri_idx, 0, scene.n_tris - 1)]
+
+    hit_pos = ro + rd * res.t[..., None]
+
+    # ---- miss: sky (reference: kernels/src/lib.rs:66-79) ------------------
+    miss = st.alive & ~res.hit
+    sky = sky_radiance(scene, cfg.has_skybox, cam.sun_direction, ro, rd)
+    radiance = radiance + jnp.where(miss[..., None], throughput * sky, 0.0)
+
+    hit_alive = st.alive & res.hit
+    emissive = attrs[:, W.ATTR_EMISSIVE]
+    is_emissive = jnp.any(emissive != 0.0, axis=-1)
+    emis_hit = hit_alive & is_emissive
+    front_emis = emis_hit & ~res.backface
+
+    # ---- emissive handling (reference: kernels/src/lib.rs:85-109) ---------
+    if not nee.uses_nee:
+        add_direct = front_emis
+        die_emis = emis_hit
+    else:
+        first_or_nondiffuse = (
+            jnp.full(batch, bounce == 0) | ~st.last_lobe_diffuse
+        )
+        add_direct = front_emis & first_or_nondiffuse
+        if nee.uses_mis:
+            die_emis = emis_hit
+        else:  # DLS: paths continue off non-qualifying emissive hits
+            die_emis = emis_hit & (res.backface | first_or_nondiffuse)
+    radiance = radiance + jnp.where(
+        add_direct[..., None], s.mask_nan(throughput * emissive), 0.0
+    )
+    if nee.uses_mis:
+        mis_mask = front_emis & ~add_direct & st.last_lobe_diffuse
+        mis_contrib = nee_mod.bsdf_mis_contribution(
+            res.tri_idx,
+            res.t,
+            st.last_pdf,
+            st.last_spectrum,
+            st.last_direction,
+            st.last_light,
+        )
+        radiance = radiance + jnp.where(
+            mis_mask[..., None], s.mask_nan(mis_contrib), 0.0
+        )
+
+    # NOTE: the full body runs on the final bounce too — NEE still
+    # contributes there (the reference's loop does the same, the sampled
+    # continuation ray is simply never traced). XLA dead-code eliminates
+    # the unused final ray update.
+    shade = hit_alive & ~die_emis
+
+    # ---- vertex attribute interpolation (kernels/src/lib.rs:111-129) ------
+    w_b = res.u[..., None]
+    w_c = res.v[..., None]
+    w_a = 1.0 - w_b - w_c
+    nrm = attrs[:, W.ATTR_NRM]
+    normal = w_a * nrm[:, 0:3] + w_b * nrm[:, 3:6] + w_c * nrm[:, 6:9]
+    uvs = attrs[:, W.ATTR_UV]
+    uv = w_a * uvs[:, 0:2] + w_b * uvs[:, 2:4] + w_c * uvs[:, 4:6]
+    out_of_range = jnp.any((uv < 0.0) | (uv > 1.0), axis=-1, keepdims=True)
+    uv = jnp.where(out_of_range, uv - jnp.floor(uv), uv)
+
+    # ---- normal mapping (kernels/src/lib.rs:131-141) -----------------------
+    # (statically skipped for scenes without any texture maps)
+    if scene.has_textures:
+        has_nm = attrs[:, W.ATTR_HASTEX][:, 3] != 0
+        nm = (
+            sample_atlas(scene.atlas, attrs[:, W.ATTR_NORMTEX], uv) * 2.0 - 1.0
+        )
+        tan = attrs[:, W.ATTR_TAN]
+        tangent = w_a * tan[:, 0:3] + w_b * tan[:, 3:6] + w_c * tan[:, 6:9]
+        bitangent = s.cross(tangent, normal)
+        mapped = s.normalize(
+            tangent * nm[..., 0:1]
+            + bitangent * nm[..., 1:2]
+            + normal * nm[..., 2:3]
+        )
+        normal = jnp.where(has_nm[..., None], mapped, normal)
+
+    # ---- BSDF sample (kernels/src/lib.rs:143-146) --------------------------
+    mat = bsdf_mod.material_from_attrs(
+        scene, attrs, uv, cam.specular_weight_clamp
+    )
+    r1 = lds(sample_idx, dim0, offsets)
+    r2 = lds(sample_idx, dim0 + 1, offsets)
+    r3 = lds(sample_idx, dim0 + 2, offsets)
+    bs = bsdf_mod.pbr_sample(mat, -rd, normal, r1, r2, r3)
+    sampled_diffuse = bs.lobe == bsdf_mod.LOBE_DIFFUSE
+
+    # ---- NEE candidate on diffuse lobes (kernels/src/lib.rs:148-165) -------
+    nee_pack = None
+    last_light = st.last_light
+    if uses_nee:
+        rn = tuple(lds(sample_idx, dim0 + 3 + k, offsets) for k in range(4))
+        dls, shadow = nee_mod.prepare_direct_lighting(
+            scene, nee, mat, throughput, hit_pos, normal, rd, rn
+        )
+        eligible = shade & sampled_diffuse
+        # the carry for next-bounce MIS is recorded regardless of
+        # visibility (matches the reference: last_light_sample is
+        # whatever sample_direct_lighting produced)
+        last_light = _where_tuple(eligible, dls, st.last_light)
+        nee_pack = NEEPack(
+            shadow_ro=shadow[0],
+            shadow_rd=shadow[1],
+            shadow_maxt=shadow[2],
+            contribution=dls.contribution,
+            eligible=eligible & shadow[3],
+        )
+
+    # ---- throughput & ray update (kernels/src/lib.rs:167-172) --------------
+    pdf_safe = jnp.where(jnp.abs(bs.pdf) < 1e-20, 1e-20, bs.pdf)
+    new_tp = s.mask_nan(throughput * bs.spectrum / pdf_safe[..., None])
+    throughput = jnp.where(shade[..., None], new_tp, throughput)
+    rd_new = bs.direction
+    ro_new = hit_pos + rd_new * s.EPS
+    ro = jnp.where(shade[..., None], ro_new, ro)
+    rd = jnp.where(shade[..., None], rd_new, rd)
+    alive = shade
+
+    # ---- russian roulette (kernels/src/lib.rs:174-181) ---------------------
+    if bounce > cfg.min_bounces:
+        prob = jnp.max(throughput, axis=-1)
+        roll = lds(sample_idx, dim0 + 7, offsets)
+        killed = alive & (roll > prob)
+        alive = alive & ~killed
+        throughput = jnp.where(
+            alive[..., None],
+            throughput / jnp.maximum(prob, 1e-20)[..., None],
+            throughput,
+        )
+
+    st = TraceState(
+        ro=ro,
+        rd=rd,
+        throughput=throughput,
+        radiance=radiance,
+        alive=alive,
+        last_lobe_diffuse=jnp.where(shade, sampled_diffuse, st.last_lobe_diffuse),
+        last_pdf=jnp.where(shade, bs.pdf, st.last_pdf),
+        last_spectrum=jnp.where(shade[..., None], bs.spectrum, st.last_spectrum),
+        last_direction=jnp.where(shade[..., None], bs.direction, st.last_direction),
+        last_light=last_light,
+    )
+    return st, nee_pack
+
+
+def bounce_post(st: TraceState, nee_pack: NEEPack, occluded) -> TraceState:
+    """Fold the shadow-ray visibility into the NEE contribution."""
+    lit = nee_pack.eligible & ~occluded
+    radiance = st.radiance + jnp.where(
+        lit[..., None], s.mask_nan(nee_pack.contribution), 0.0
+    )
+    return st._replace(radiance=radiance)
 
 
 def trace_paths(
@@ -102,161 +330,33 @@ def trace_paths(
     offsets: jnp.ndarray,
     engine: str = "auto",
 ) -> jnp.ndarray:
-    """Trace one sample for a batch of pixels; returns radiance [B, 3]."""
-    batch = px.shape[0]
-    nee = cfg.nee
-    uses_nee = nee.uses_nee and scene.has_lights
+    """Trace one sample for a batch of pixels (single fused program);
+    returns radiance [B, 3]."""
+    from rustic_tpu.ops.intersect import _pick_engine, intersect_flash_attrs
 
-    ro, rd = camera_rays(cfg, cam, px, py, sample_idx, offsets)
-    throughput = jnp.ones((batch, 3), jnp.float32)
-    radiance = jnp.zeros((batch, 3), jnp.float32)
-    alive = jnp.ones(batch, bool)
-    last_lobe_diffuse = jnp.zeros(batch, bool)
-    last_pdf = jnp.ones(batch, jnp.float32)
-    last_spectrum = jnp.zeros((batch, 3), jnp.float32)
-    last_direction = rd
-    last_light = nee_mod.DirectLightSample.zeros(batch)
-
+    resolved = _pick_engine(scene, engine)
+    st = init_state(cfg, cam, px, py, sample_idx, offsets)
     for bounce in range(cfg.max_bounces):
-        dim0 = _AA_DIMS + bounce * _DIMS_PER_BOUNCE + 1
-
-        res = intersect_nearest(scene, ro, rd, engine=engine)
-        hit_pos = ro + rd * res.t[..., None]
-
-        # ---- miss: sky (reference: kernels/src/lib.rs:66-79) --------------
-        miss = alive & ~res.hit
-        sky = sky_radiance(scene, cfg.has_skybox, cam.sun_direction, ro, rd)
-        radiance = radiance + jnp.where(miss[..., None], throughput * sky, 0.0)
-
-        hit_alive = alive & res.hit
-        mat_idx = scene.tri_mat[res.tri_idx]
-        emissive = scene.mat_emissive[mat_idx]
-        is_emissive = jnp.any(emissive != 0.0, axis=-1)
-        emis_hit = hit_alive & is_emissive
-        front_emis = emis_hit & ~res.backface
-
-        # ---- emissive handling (reference: kernels/src/lib.rs:85-109) -----
-        if not nee.uses_nee:
-            add_direct = front_emis
-            die_emis = emis_hit
+        if resolved == "flash":
+            res, attrs = intersect_flash_attrs(
+                scene, st.ro, st.rd, interpret=jax.default_backend() != "tpu"
+            )
         else:
-            first_or_nondiffuse = (
-                jnp.full(batch, bounce == 0) | ~last_lobe_diffuse
-            )
-            add_direct = front_emis & first_or_nondiffuse
-            if nee.uses_mis:
-                die_emis = emis_hit
-            else:  # DLS: paths continue off non-qualifying emissive hits
-                die_emis = emis_hit & (res.backface | first_or_nondiffuse)
-        radiance = radiance + jnp.where(
-            add_direct[..., None], s.mask_nan(throughput * emissive), 0.0
+            res = intersect_nearest(scene, st.ro, st.rd, engine=engine)
+            attrs = None
+        st, nee_pack = bounce_pre(
+            scene, cfg, cam, bounce, st, res, sample_idx, offsets, attrs=attrs
         )
-        if nee.uses_mis:
-            mis_mask = front_emis & ~add_direct & last_lobe_diffuse
-            mis_contrib = nee_mod.bsdf_mis_contribution(
-                res.tri_idx, res.t, last_pdf, last_spectrum, last_direction, last_light
-            )
-            radiance = radiance + jnp.where(
-                mis_mask[..., None], s.mask_nan(mis_contrib), 0.0
-            )
-
-        # NOTE: the full body runs on the final bounce too — NEE still
-        # contributes there (the reference's loop does the same, the
-        # sampled continuation ray is simply never traced). XLA dead-code
-        # eliminates the unused final ray update.
-        shade = hit_alive & ~die_emis
-
-        # ---- vertex attribute interpolation (kernels/src/lib.rs:111-129) --
-        tri = scene.tri_vidx[res.tri_idx]
-        w_b = res.u[..., None]
-        w_c = res.v[..., None]
-        w_a = 1.0 - w_b - w_c
-        normal = (
-            w_a * scene.normals[tri[:, 0]]
-            + w_b * scene.normals[tri[:, 1]]
-            + w_c * scene.normals[tri[:, 2]]
-        )
-        uv = (
-            w_a * scene.uv0[tri[:, 0]]
-            + w_b * scene.uv0[tri[:, 1]]
-            + w_c * scene.uv0[tri[:, 2]]
-        )
-        out_of_range = jnp.any((uv < 0.0) | (uv > 1.0), axis=-1, keepdims=True)
-        uv = jnp.where(out_of_range, uv - jnp.floor(uv), uv)
-
-        # ---- normal mapping (kernels/src/lib.rs:131-141) -------------------
-        has_nm = scene.mat_has_tex[mat_idx, 3] != 0
-        nm = sample_atlas(scene.atlas, scene.mat_normals[mat_idx], uv) * 2.0 - 1.0
-        tangent = (
-            w_a * scene.tangents[tri[:, 0]]
-            + w_b * scene.tangents[tri[:, 1]]
-            + w_c * scene.tangents[tri[:, 2]]
-        )
-        bitangent = s.cross(tangent, normal)
-        mapped = s.normalize(
-            tangent * nm[..., 0:1] + bitangent * nm[..., 1:2] + normal * nm[..., 2:3]
-        )
-        normal = jnp.where(has_nm[..., None], mapped, normal)
-
-        # ---- BSDF sample (kernels/src/lib.rs:143-146) ----------------------
-        mat = bsdf_mod.get_pbr_material(
-            scene, mat_idx, uv, cam.specular_weight_clamp
-        )
-        r1 = lds(sample_idx, dim0, offsets)
-        r2 = lds(sample_idx, dim0 + 1, offsets)
-        r3 = lds(sample_idx, dim0 + 2, offsets)
-        bs = bsdf_mod.pbr_sample(mat, -rd, normal, r1, r2, r3)
-        sampled_diffuse = bs.lobe == bsdf_mod.LOBE_DIFFUSE
-
-        # ---- NEE on diffuse lobes (kernels/src/lib.rs:148-165) -------------
-        if uses_nee:
-            rn = tuple(
-                lds(sample_idx, dim0 + 3 + k, offsets) for k in range(4)
-            )
-            dls = nee_mod.sample_direct_lighting(
+        if nee_pack is not None:
+            occluded = intersect_any(
                 scene,
-                nee,
-                mat,
-                throughput,
-                hit_pos,
-                normal,
-                rd,
-                rn,
+                nee_pack.shadow_ro,
+                nee_pack.shadow_rd,
+                nee_pack.shadow_maxt,
                 engine=engine,
             )
-            eligible = shade & sampled_diffuse
-            radiance = radiance + jnp.where(
-                eligible[..., None], s.mask_nan(dls.contribution), 0.0
-            )
-            last_light = _where_tuple(eligible, dls, last_light)
-
-        # ---- throughput & ray update (kernels/src/lib.rs:167-172) ----------
-        pdf_safe = jnp.where(jnp.abs(bs.pdf) < 1e-20, 1e-20, bs.pdf)
-        new_tp = s.mask_nan(throughput * bs.spectrum / pdf_safe[..., None])
-        throughput = jnp.where(shade[..., None], new_tp, throughput)
-        rd_new = bs.direction
-        ro_new = hit_pos + rd_new * s.EPS
-        ro = jnp.where(shade[..., None], ro_new, ro)
-        rd = jnp.where(shade[..., None], rd_new, rd)
-        last_lobe_diffuse = jnp.where(shade, sampled_diffuse, last_lobe_diffuse)
-        last_pdf = jnp.where(shade, bs.pdf, last_pdf)
-        last_spectrum = jnp.where(shade[..., None], bs.spectrum, last_spectrum)
-        last_direction = jnp.where(shade[..., None], bs.direction, last_direction)
-        alive = shade
-
-        # ---- russian roulette (kernels/src/lib.rs:174-181) -----------------
-        if bounce > cfg.min_bounces:
-            prob = jnp.max(throughput, axis=-1)
-            roll = lds(sample_idx, dim0 + 7, offsets)
-            killed = alive & (roll > prob)
-            alive = alive & ~killed
-            throughput = jnp.where(
-                alive[..., None],
-                throughput / jnp.maximum(prob, 1e-20)[..., None],
-                throughput,
-            )
-
-    return radiance
+            st = bounce_post(st, nee_pack, occluded)
+    return st.radiance
 
 
 def accumulate_samples(

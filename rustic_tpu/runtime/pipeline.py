@@ -1,0 +1,121 @@
+"""Staged render pipeline: the TPU fast path.
+
+Architecturally this is the wavefront integrator of ops/trace.py with
+the intersection kernels hoisted into their own executables: per bounce
+we dispatch [shade program] -> [flash nearest] -> [shade continues] ->
+[flash occlude] -> [NEE apply], all asynchronously queued on the device,
+so kernel launches overlap and the host never blocks until readback.
+
+Why not one fused program? The axon TPU runtime currently stalls
+compiling modules that mix Mosaic (Pallas) custom calls with regular
+XLA fusions; separate executables sidestep that and additionally reuse
+the compiled stages across scenes with equal shapes. The stage functions
+themselves are shared verbatim with the fused driver, so the CPU test
+suite exercises exactly the math that runs here.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rustic_tpu.config import StaticConfig
+from rustic_tpu.ops import trace as trace_mod
+from rustic_tpu.ops.flash_intersect import flash_nearest, flash_occlude
+from rustic_tpu.ops.intersect import BIG, _ray_features16
+
+
+@functools.lru_cache(maxsize=16)
+def _stages(cfg: StaticConfig):
+    """Compile the per-bounce XLA stages (cached per static config).
+
+    Each bounce is ONE XLA program: it folds the previous bounce's
+    shadow-ray result in (bounce_post) and runs the full shade
+    (bounce_pre) off the packed attribute row the flash kernel emitted —
+    no gathers, no separate post dispatch.
+    """
+
+    @jax.jit
+    def init(cam, px, py, sample_idx, offsets):
+        st = trace_mod.init_state(cfg, cam, px, py, sample_idx, offsets)
+        return st, _ray_features16(st.ro, st.rd)
+
+    def make_pre(bounce: int):
+        @jax.jit
+        def pre(scene, cam, st, prev_nee, prev_occ, t, idx, u, v, det, attrs,
+                sample_idx, offsets):
+            if prev_nee is not None:
+                st = trace_mod.bounce_post(st, prev_nee, prev_occ)
+            hit = t < BIG
+            res = trace_mod.TraceResult(t, idx, hit, (det < 0.0) & hit, u, v)
+            st2, nee_pack = trace_mod.bounce_pre(
+                scene, cfg, cam, bounce, st, res, sample_idx, offsets,
+                attrs=attrs,
+            )
+            next_feats = _ray_features16(st2.ro, st2.rd)
+            if nee_pack is None:
+                return st2, next_feats, None
+            shadow_feats = _ray_features16(nee_pack.shadow_ro, nee_pack.shadow_rd)
+            return st2, next_feats, (nee_pack, shadow_feats)
+
+        return pre
+
+    @jax.jit
+    def finish(st, prev_nee, prev_occ, film):
+        if prev_nee is not None:
+            st = trace_mod.bounce_post(st, prev_nee, prev_occ)
+        return film + st.radiance
+
+    pres = [make_pre(b) for b in range(cfg.max_bounces)]
+    return init, pres, finish
+
+
+def render_batch_staged(
+    scene,
+    cfg: StaticConfig,
+    cam,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    offsets: jnp.ndarray,
+    sample_start: int,
+    n_samples: int,
+    film_in: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Render n_samples for one pixel batch through the staged pipeline.
+
+    All dispatches are queued asynchronously; the returned film-sum array
+    is on device (callers np.asarray() it to sync)."""
+    init, pres, finish = _stages(cfg)
+    film = (
+        film_in
+        if film_in is not None
+        else jnp.zeros((px.shape[0], 3), jnp.float32)
+    )
+    g16 = scene.tri_feats16
+    interpret = jax.default_backend() != "tpu"
+    for k in range(n_samples):
+        sample_idx = jnp.uint32(sample_start + k)
+        st, feats = init(cam, px, py, sample_idx, offsets)
+        prev_nee = prev_occ = None
+        for bounce in range(cfg.max_bounces):
+            t, idx, u, v, det, attrs = flash_nearest(
+                feats, g16, scene.tri_attrs, interpret=interpret
+            )
+            st, feats, nee = pres[bounce](
+                scene, cam, st, prev_nee, prev_occ, t, idx, u, v, det, attrs,
+                sample_idx, offsets,
+            )
+            prev_nee = prev_occ = None
+            if nee is not None:
+                nee_pack, shadow_feats = nee
+                prev_occ = flash_occlude(
+                    shadow_feats, nee_pack.shadow_maxt, g16, interpret=interpret
+                )
+                prev_nee = nee_pack
+        film = finish(st, prev_nee, prev_occ, film)
+    return film

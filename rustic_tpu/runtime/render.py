@@ -84,13 +84,33 @@ def render_pixels(
     """
     cfg = config.static_part()
     cam = config.dynamic_part()
-    fn = _compiled_accumulate(cfg, engine)
     if film_in is None:
         film_in = jnp.zeros((len(px), 3), jnp.float32)
     if offsets is None:
         offsets = pcg_hash_np(
             (py.astype(np.uint32) * np.uint32(config.width) + px.astype(np.uint32))
         )
+
+    from rustic_tpu.ops.intersect import _pick_engine
+
+    if _pick_engine(scene, engine) == "flash" and jax.default_backend() == "tpu":
+        # TPU fast path: staged pipeline around the Pallas kernels
+        # (see runtime/pipeline.py for why it is not one fused program).
+        from rustic_tpu.runtime.pipeline import render_batch_staged
+
+        return render_batch_staged(
+            scene,
+            cfg,
+            cam,
+            jnp.asarray(px, jnp.int32),
+            jnp.asarray(py, jnp.int32),
+            jnp.asarray(offsets, jnp.uint32),
+            int(sample_start),
+            int(samples),
+            film_in=film_in,
+        )
+
+    fn = _compiled_accumulate(cfg, engine)
     return fn(
         scene,
         cam,

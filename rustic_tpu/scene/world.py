@@ -23,6 +23,31 @@ from rustic_tpu.scene.gltf import GltfScene, load_glb
 
 ATLAS_SIZE = 4096  # reference: src/asset.rs:177
 
+# Packed per-triangle shading-row layout (tri_attrs[:, i]):
+ATTR_POS = slice(0, 9)  # vertex positions a,b,c
+ATTR_NRM = slice(9, 18)  # vertex normals a,b,c
+ATTR_TAN = slice(18, 27)  # vertex tangents a,b,c
+ATTR_UV = slice(27, 33)  # vertex uv0 a,b,c
+ATTR_EMISSIVE = slice(33, 36)
+ATTR_ALBEDO = slice(36, 40)  # color or atlas uvst
+ATTR_ROUGH = slice(40, 44)
+ATTR_METAL = slice(44, 48)
+ATTR_NORMTEX = slice(48, 52)
+ATTR_HASTEX = slice(52, 56)  # albedo, metallic, roughness, normal flags
+ATTR_WIDTH = 64
+
+# Packed per-triangle light-row layout (light_rows[:, i]):
+LIGHT_VERTS = slice(0, 9)
+LIGHT_NORMAL = slice(9, 12)  # flat normal (mean of vertex normals)
+LIGHT_EMISSION = slice(12, 15)
+LIGHT_WIDTH = 16
+
+# Packed alias-entry layout (alias_rows[:, i]):
+ALIAS_IDX_A, ALIAS_AREA_A, ALIAS_PDF_A = 0, 1, 2
+ALIAS_IDX_B, ALIAS_AREA_B, ALIAS_PDF_B = 3, 4, 5
+ALIAS_RATIO = 6
+ALIAS_WIDTH = 8
+
 
 class SceneArrays(struct.PyTreeNode):
     """Device-resident scene: everything the integrator needs, SoA.
@@ -43,6 +68,13 @@ class SceneArrays(struct.PyTreeNode):
     tri_feats: jnp.ndarray  # [10, T, 4] f32
     # Pallas flash-intersection layout: see ops/flash_intersect.py
     tri_feats16: jnp.ndarray  # [4, 16, T_pad] f32
+    # Packed per-triangle shading rows [T_pad, 64]: everything the shader
+    # needs about a hit triangle in one row, fetched gather-free by the
+    # flash kernel's hit-mask matmul (see ATTR_* layout constants below).
+    tri_attrs: jnp.ndarray  # [T_pad, 64] f32
+    # Packed light rows for NEE, one gather each (see LIGHT_* constants):
+    light_rows: jnp.ndarray  # [T, 16] f32 per-triangle light geometry
+    alias_rows: jnp.ndarray  # [L, 8] f32 packed alias-table entries
     # BVH (SoA; leaf iff count > 0)
     bvh_min: jnp.ndarray  # [N, 3] f32
     bvh_max: jnp.ndarray  # [N, 3] f32
@@ -73,6 +105,7 @@ class SceneArrays(struct.PyTreeNode):
     n_tris: int = struct.field(pytree_node=False, default=0)
     n_nodes: int = struct.field(pytree_node=False, default=0)
     has_lights: bool = struct.field(pytree_node=False, default=False)
+    has_textures: bool = struct.field(pytree_node=False, default=False)
 
 
 def _triangle_features(
@@ -221,6 +254,45 @@ class World:
         from rustic_tpu.ops.flash_intersect import pack_tri_feats16
 
         self.tri_feats16 = pack_tri_feats16(self.tri_feats)
+        self._pack_shading_rows()
+
+    def _pack_shading_rows(self):
+        """Build the gather-free shading tables (see ATTR_*/LIGHT_*/ALIAS_*)."""
+        tris = self.triangles
+        t_count = len(tris)
+        t_pad = self.tri_feats16.shape[-1]
+        vi = tris[:, :3]
+        mi = tris[:, 3]
+
+        attrs = np.zeros((t_pad, ATTR_WIDTH), np.float32)
+        attrs[:t_count, ATTR_POS] = self.positions[vi].reshape(t_count, 9)
+        attrs[:t_count, ATTR_NRM] = self.normals[vi].reshape(t_count, 9)
+        attrs[:t_count, ATTR_TAN] = self.tangents[vi].reshape(t_count, 9)
+        attrs[:t_count, ATTR_UV] = self.uv0[vi].reshape(t_count, 6)
+        attrs[:t_count, ATTR_EMISSIVE] = self.mat_emissive[mi]
+        attrs[:t_count, ATTR_ALBEDO] = self.mat_albedo[mi]
+        attrs[:t_count, ATTR_ROUGH] = self.mat_roughness[mi]
+        attrs[:t_count, ATTR_METAL] = self.mat_metallic[mi]
+        attrs[:t_count, ATTR_NORMTEX] = self.mat_normals[mi]
+        attrs[:t_count, ATTR_HASTEX] = self.mat_has_tex[mi]
+        self.tri_attrs = attrs
+
+        light_rows = np.zeros((t_count, LIGHT_WIDTH), np.float32)
+        light_rows[:, LIGHT_VERTS] = self.positions[vi].reshape(t_count, 9)
+        light_rows[:, LIGHT_NORMAL] = self.normals[vi].mean(axis=1)
+        light_rows[:, LIGHT_EMISSION] = self.mat_emissive[mi]
+        self.light_rows = light_rows
+
+        lt = self.light_table
+        alias = np.zeros((len(lt), ALIAS_WIDTH), np.float32)
+        alias[:, ALIAS_IDX_A] = lt.idx_a
+        alias[:, ALIAS_AREA_A] = lt.area_a
+        alias[:, ALIAS_PDF_A] = lt.pdf_a
+        alias[:, ALIAS_IDX_B] = lt.idx_b
+        alias[:, ALIAS_AREA_B] = lt.area_b
+        alias[:, ALIAS_PDF_B] = lt.pdf_b
+        alias[:, ALIAS_RATIO] = lt.ratio
+        self.alias_rows = alias
 
     @classmethod
     def from_path(cls, path: str) -> "World":
@@ -237,6 +309,9 @@ class World:
             tri_mat=jnp.asarray(self.triangles[:, 3], jnp.int32),
             tri_feats=jnp.asarray(self.tri_feats),
             tri_feats16=jnp.asarray(self.tri_feats16),
+            tri_attrs=jnp.asarray(self.tri_attrs),
+            light_rows=jnp.asarray(self.light_rows),
+            alias_rows=jnp.asarray(self.alias_rows),
             bvh_min=jnp.asarray(self.bvh.aabb_min),
             bvh_max=jnp.asarray(self.bvh.aabb_max),
             bvh_left_first=jnp.asarray(self.bvh.left_first),
@@ -261,6 +336,7 @@ class World:
             n_tris=len(self.triangles),
             n_nodes=self.bvh.n_nodes,
             has_lights=not lt.is_sentinel,
+            has_textures=bool(self.mat_has_tex.any()),
         )
 
 
