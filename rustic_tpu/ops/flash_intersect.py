@@ -4,20 +4,19 @@ The XLA formulation in ops/intersect.py materializes the [rays, tris]
 Möller–Trumbore scalars in HBM, which makes traversal bandwidth-bound.
 This kernel is the fused version: ray tiles and triangle tiles stream
 through VMEM, the four pair-scalar blocks (det, u·det, v·det, t·det)
-come off the MXU as [BT, TT] tiles, the epilogue and a *running
-min-reduction over triangle tiles* happen in registers/VMEM, and only
-the per-ray result (t, triangle index | occlusion bit) is ever written
-to HBM — flash-attention's trick applied to ray casting.
-
-Memory traffic per traversal: rays read once per triangle tile row,
-triangles read once per ray tile row, outputs written once. No [B, T]
-intermediate exists anywhere.
+come off the MXU as one [BT, 4·TT] tile, the epilogue and a *running
+min-reduction over triangle tiles* happen on-chip, and only per-ray
+results are written to HBM — flash-attention's trick applied to ray
+casting. The winning triangle's packed shading row is pulled out of the
+attribute table by a one-hot MXU matmul, so shading needs no gathers.
 
 Layout contract (built in scene/world.py):
   ray features  F [B, 16] f32 = [rd, ro×rd, ro, 1, pad..]
-  tri features  G [4, 16, T] f32, padded so G @ F gives
-                (det, u_num, v_num, t_num) per pair; zero-padded
+  tri features  G [16, NT * 4 * TT] f32 — per triangle tile j the
+                columns [j*4TT : (j+1)*4TT] hold the four numerator
+                blocks [det | u | v | t], each TT wide. Zero-padded
                 triangle columns have det == 0 => never valid.
+  attr rows     A [T_pad, W] f32 packed shading rows (ATTR_* layout).
 """
 
 from __future__ import annotations
@@ -34,73 +33,43 @@ from rustic_tpu.ops.sampling import EPS
 BIG = 1e6
 DET_EPS = 1e-6
 
-# Tile sizes: [BT, TT] f32 intermediates (~1 MB each) with a handful live
-# keep VMEM use well under budget while giving the MXU [512,16]x[16,512].
-DEF_BT = 512
-DEF_TT = 512
+DEF_BT = 1024  # rays per tile
+DEF_TT = 512  # triangles per tile
 
 
-def _pair_scalars(f_tile, g_ref):
-    """MXU: [BT,16] x 4x[16,TT] -> det, u, v, t, valid ([BT, TT] each)."""
-    det = jax.lax.dot_general(
-        f_tile, g_ref[0],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    u_num = jax.lax.dot_general(
-        f_tile, g_ref[1],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    v_num = jax.lax.dot_general(
-        f_tile, g_ref[2],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    t_num = jax.lax.dot_general(
-        f_tile, g_ref[3],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    good = jnp.abs(det) >= DET_EPS
-    inv = jnp.where(good, pl.reciprocal(jnp.where(good, det, 1.0)), 0.0)
-    u = u_num * inv
-    v = v_num * inv
-    t = t_num * inv
-    valid = good & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0) & (t > EPS)
-    return t, valid
+def padded_tri_count(t_count: int) -> int:
+    """Pad to a lane multiple (128); beyond one tile, to a tile multiple."""
+    if t_count <= DEF_TT:
+        return -(-t_count // 128) * 128
+    return -(-t_count // DEF_TT) * DEF_TT
 
 
-def _pair_scalars_full(f_tile, g_ref):
-    """Like _pair_scalars but also returns det, u, v (for attr output)."""
-    det = jax.lax.dot_general(
-        f_tile, g_ref[0],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    u_num = jax.lax.dot_general(
-        f_tile, g_ref[1],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    v_num = jax.lax.dot_general(
-        f_tile, g_ref[2],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    t_num = jax.lax.dot_general(
-        f_tile, g_ref[3],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+def tile_size(t_pad: int) -> int:
+    return min(t_pad, DEF_TT)
+
+
+def pack_tri_feats16(tri_feats):
+    """[10, T, 4] feature tensor (scene/world.py) -> [16, NT*4*TT]."""
+    import numpy as np
+
+    t_count = tri_feats.shape[1]
+    t_pad = padded_tri_count(t_count)
+    tt = tile_size(t_pad)
+    nt = t_pad // tt
+    g = np.zeros((16, nt, 4, tt), np.float32)
+    src = np.moveaxis(np.asarray(tri_feats), 2, 0)  # [4, 10, T]
+    for j in range(nt):
+        cols = src[:, :, j * tt : (j + 1) * tt]
+        g[: cols.shape[1], j, :, : cols.shape[2]] = np.moveaxis(cols, 0, 1)
+    return g.reshape(16, nt * 4 * tt)
+
+
+def _epilogue(raw, tt):
+    """[BT, 4*TT] numerators -> det, u, v, t, valid ([BT, TT] each)."""
+    det = raw[:, 0 * tt : 1 * tt]
+    u_num = raw[:, 1 * tt : 2 * tt]
+    v_num = raw[:, 2 * tt : 3 * tt]
+    t_num = raw[:, 3 * tt : 4 * tt]
     good = jnp.abs(det) >= DET_EPS
     inv = jnp.where(good, pl.reciprocal(jnp.where(good, det, 1.0)), 0.0)
     u = u_num * inv
@@ -110,14 +79,54 @@ def _pair_scalars_full(f_tile, g_ref):
     return det, u, v, t, valid
 
 
-def _nearest_kernel(f_ref, g_ref, attr_ref, t_ref, idx_ref, u_ref, v_ref, d_ref, out_attr_ref):
-    """Nearest hit + gather-free attribute fetch.
+def _pair_dot(f_tile, g_block):
+    # HIGHEST = full-f32 passes on the MXU (Mosaic supports only
+    # DEFAULT/HIGHEST; DEFAULT's bf16 mantissa breaks EPS-scale geometry).
+    return jax.lax.dot_general(
+        f_tile,
+        g_block,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
-    The per-tile winner's one-hot row (iota == argmin) doubles as the
-    selector matmul that pulls the winning triangle's packed shading row
-    out of the attribute table on the MXU — attribute "gathers" for free.
-    """
+
+def _tile_winner(f_tile, g_block, attr_block, tt):
+    det, u, v, t, valid = _epilogue(_pair_dot(f_tile, g_block), tt)
+    tm = jnp.where(valid, t, BIG)
+    tile_min = jnp.min(tm, axis=1)
+    tile_arg = jnp.argmin(tm, axis=1).astype(jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 1)
+    one_hot = (iota == tile_arg[:, None]).astype(jnp.float32)
+    u_best = jnp.sum(one_hot * u, axis=1)
+    v_best = jnp.sum(one_hot * v, axis=1)
+    d_best = jnp.sum(one_hot * det, axis=1)
+    attr_best = jax.lax.dot_general(
+        one_hot,
+        attr_block,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return tile_min, tile_arg, u_best, v_best, d_best, attr_best
+
+
+def _nearest_kernel_single(f_ref, g_ref, attr_ref, t_ref, idx_ref, u_ref, v_ref, d_ref, out_attr_ref):
+    """One triangle tile: no running combine, outputs written once."""
+    tt = attr_ref.shape[0]
+    tile_min, tile_arg, u_b, v_b, d_b, attr_b = _tile_winner(
+        f_ref[...], g_ref[...], attr_ref[...], tt
+    )
+    t_ref[0, :] = tile_min
+    idx_ref[0, :] = tile_arg
+    u_ref[0, :] = u_b
+    v_ref[0, :] = v_b
+    d_ref[0, :] = d_b
+    out_attr_ref[...] = attr_b
+
+
+def _nearest_kernel_multi(f_ref, g_ref, attr_ref, t_ref, idx_ref, u_ref, v_ref, d_ref, out_attr_ref):
     j = pl.program_id(1)
+    tt = attr_ref.shape[0]
 
     @pl.when(j == 0)
     def _():
@@ -128,47 +137,36 @@ def _nearest_kernel(f_ref, g_ref, attr_ref, t_ref, idx_ref, u_ref, v_ref, d_ref,
         d_ref[...] = jnp.zeros_like(d_ref)
         out_attr_ref[...] = jnp.zeros_like(out_attr_ref)
 
-    f_tile = f_ref[...]
-    det, u, v, t, valid = _pair_scalars_full(f_tile, g_ref)
-    tt = g_ref.shape[-1]
-    tm = jnp.where(valid, t, BIG)
-    tile_min = jnp.min(tm, axis=1)
-    tile_arg = jnp.argmin(tm, axis=1).astype(jnp.int32)
-
-    iota = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 1)
-    one_hot = (iota == tile_arg[:, None]).astype(jnp.float32)
-    u_best = jnp.sum(one_hot * u, axis=1)
-    v_best = jnp.sum(one_hot * v, axis=1)
-    d_best = jnp.sum(one_hot * det, axis=1)
-    attr_best = jax.lax.dot_general(
-        one_hot, attr_ref[...],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    tile_min, tile_arg, u_b, v_b, d_b, attr_b = _tile_winner(
+        f_ref[...], g_ref[...], attr_ref[...], tt
     )
-
-    cur = t_ref[0, :]
-    better = tile_min < cur
-    t_ref[0, :] = jnp.where(better, tile_min, cur)
+    better = tile_min < t_ref[0, :]
+    t_ref[0, :] = jnp.where(better, tile_min, t_ref[0, :])
     idx_ref[0, :] = jnp.where(better, tile_arg + j * tt, idx_ref[0, :])
-    u_ref[0, :] = jnp.where(better, u_best, u_ref[0, :])
-    v_ref[0, :] = jnp.where(better, v_best, v_ref[0, :])
-    d_ref[0, :] = jnp.where(better, d_best, d_ref[0, :])
-    out_attr_ref[...] = jnp.where(
-        better[:, None], attr_best, out_attr_ref[...]
-    )
+    u_ref[0, :] = jnp.where(better, u_b, u_ref[0, :])
+    v_ref[0, :] = jnp.where(better, v_b, v_ref[0, :])
+    d_ref[0, :] = jnp.where(better, d_b, d_ref[0, :])
+    out_attr_ref[...] = jnp.where(better[:, None], attr_b, out_attr_ref[...])
 
 
-def _occlude_kernel(f_ref, maxt_ref, g_ref, occ_ref):
+def _occlude_kernel_single(f_ref, maxt_ref, g_ref, occ_ref):
+    tt = g_ref.shape[-1] // 4
+    _, _, _, t, valid = _epilogue(_pair_dot(f_ref[...], g_ref[...]), tt)
+    hit = valid & (t <= maxt_ref[0, :][:, None])
+    occ_ref[0, :] = jnp.any(hit, axis=1).astype(jnp.int32)
+
+
+def _occlude_kernel_multi(f_ref, maxt_ref, g_ref, occ_ref):
     j = pl.program_id(1)
+    tt = g_ref.shape[-1] // 4
 
     @pl.when(j == 0)
     def _():
         occ_ref[...] = jnp.zeros_like(occ_ref)
 
-    t, valid = _pair_scalars(f_ref[...], g_ref)
+    _, _, _, t, valid = _epilogue(_pair_dot(f_ref[...], g_ref[...]), tt)
     hit = valid & (t <= maxt_ref[0, :][:, None])
-    any_hit = jnp.any(hit, axis=1).astype(jnp.int32)
-    occ_ref[0, :] = occ_ref[0, :] | any_hit
+    occ_ref[0, :] = occ_ref[0, :] | jnp.any(hit, axis=1).astype(jnp.int32)
 
 
 def _pad_rays(feats, bt):
@@ -177,6 +175,15 @@ def _pad_rays(feats, bt):
     if pad:
         feats = jnp.pad(feats, ((0, pad), (0, 0)))
     return feats, b, feats.shape[0] // bt
+
+
+def _geometry(tri_feats16):
+    total = tri_feats16.shape[-1]
+    # total = nt * 4 * tt with tt = tile_size(t_pad), t_pad = nt * tt
+    t_pad = total // 4
+    tt = tile_size(t_pad)
+    nt = t_pad // tt
+    return t_pad, tt, nt
 
 
 @functools.partial(jax.jit, static_argnames=("bt", "interpret"))
@@ -189,26 +196,20 @@ def flash_nearest(
 ):
     """Nearest hit + winning triangle's packed shading row.
 
-    Args:
-      feats: [B, 16] ray features.
-      tri_feats16: [4, 16, T_pad] triangle features, T_pad % tt == 0.
-      tri_attrs: [T_pad, W] packed shading rows (scene/world.py ATTR_*).
-    Returns:
-      t [B] f32 (BIG when missed), idx [B] i32, u [B], v [B], det [B],
-      attrs [B, W].
+    Returns t [B] (BIG when missed), idx [B] i32, u, v, det [B],
+    attrs [B, W].
     """
     feats, b, nb = _pad_rays(feats, bt)
-    t_pad = tri_feats16.shape[-1]
-    tt = tile_size(t_pad)
-    nt = t_pad // tt
+    t_pad, tt, nt = _geometry(tri_feats16)
     width = tri_attrs.shape[-1]
+    kernel = _nearest_kernel_single if nt == 1 else _nearest_kernel_multi
 
     outs = pl.pallas_call(
-        _nearest_kernel,
+        kernel,
         grid=(nb, nt),
         in_specs=[
             pl.BlockSpec((bt, 16), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 16, tt), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 4 * tt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((tt, width), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -227,6 +228,9 @@ def flash_nearest(
             jax.ShapeDtypeStruct((1, nb * bt), jnp.float32),
             jax.ShapeDtypeStruct((nb * bt, width), jnp.float32),
         ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(feats, tri_feats16, tri_attrs)
     t_out, idx_out, u_out, v_out, d_out, attr_out = outs
@@ -251,42 +255,22 @@ def flash_occlude(
     """Any-hit within (EPS, max_t] -> [B] bool."""
     feats, b, nb = _pad_rays(feats, bt)
     maxt = jnp.pad(max_t, (0, feats.shape[0] - b), constant_values=-1.0)
-    t_pad = tri_feats16.shape[-1]
-    tt = tile_size(t_pad)
-    nt = t_pad // tt
+    t_pad, tt, nt = _geometry(tri_feats16)
+    kernel = _occlude_kernel_single if nt == 1 else _occlude_kernel_multi
 
     occ = pl.pallas_call(
-        _occlude_kernel,
+        kernel,
         grid=(nb, nt),
         in_specs=[
             pl.BlockSpec((bt, 16), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 16, tt), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 4 * tt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(feats, maxt.reshape(1, nb * bt), tri_feats16)
     return occ.reshape(-1)[:b] != 0
-
-
-def padded_tri_count(t_count: int) -> int:
-    """Pad to a lane multiple (128); beyond one tile, to a tile multiple."""
-    if t_count <= DEF_TT:
-        return -(-t_count // 128) * 128
-    return -(-t_count // DEF_TT) * DEF_TT
-
-
-def tile_size(t_pad: int) -> int:
-    return min(t_pad, DEF_TT)
-
-
-def pack_tri_feats16(tri_feats):
-    """[10, T, 4] feature tensor (scene/world.py) -> [4, 16, T_pad]."""
-    import numpy as np
-
-    t_count = tri_feats.shape[1]
-    t_pad = padded_tri_count(t_count)
-    g = np.zeros((4, 16, t_pad), np.float32)
-    g[:, :10, :t_count] = np.moveaxis(np.asarray(tri_feats), 2, 0)[:, :, :t_count]
-    return g

@@ -169,8 +169,15 @@ def bounce_pre(
     hit_pos = ro + rd * res.t[..., None]
 
     # ---- miss: sky (reference: kernels/src/lib.rs:66-79) ------------------
+    # The (possibly expensive) sky evaluation runs only when some lane
+    # actually escaped — in closed scenes the whole branch is skipped at
+    # runtime.
     miss = st.alive & ~res.hit
-    sky = sky_radiance(scene, cfg.has_skybox, cam.sun_direction, ro, rd)
+    sky = jax.lax.cond(
+        jnp.any(miss),
+        lambda: sky_radiance(scene, cfg.has_skybox, cam.sun_direction, ro, rd),
+        lambda: jnp.zeros_like(ro),
+    )
     radiance = radiance + jnp.where(miss[..., None], throughput * sky, 0.0)
 
     hit_alive = st.alive & res.hit
@@ -251,6 +258,21 @@ def bounce_pre(
     r2 = lds(sample_idx, dim0 + 1, offsets)
     r3 = lds(sample_idx, dim0 + 2, offsets)
     bs = bsdf_mod.pbr_sample(mat, -rd, normal, r1, r2, r3)
+    if scene.has_glass:
+        # GGX dielectric for KHR_materials_transmission materials —
+        # the glass BSDF the reference ships unwired
+        # (kernels/src/bsdf.rs:107-176), selected per lane.
+        is_glass = attrs[:, W.ATTR_TRANSMISSION] > 0.0
+        gs = bsdf_mod.glass_sample(
+            mat.albedo, attrs[:, W.ATTR_IOR], mat.roughness, -rd, normal,
+            r1, r2, r3,
+        )
+        bs = bsdf_mod.BSDFSample(
+            pdf=jnp.where(is_glass, gs.pdf, bs.pdf),
+            lobe=jnp.where(is_glass, gs.lobe, bs.lobe),
+            spectrum=jnp.where(is_glass[..., None], gs.spectrum, bs.spectrum),
+            direction=jnp.where(is_glass[..., None], gs.direction, bs.direction),
+        )
     sampled_diffuse = bs.lobe == bsdf_mod.LOBE_DIFFUSE
 
     # ---- NEE candidate on diffuse lobes (kernels/src/lib.rs:148-165) -------

@@ -52,6 +52,12 @@ class GltfMaterial:
     metallic: float = 1.0
     roughness: float = 1.0
     emissive: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # KHR_materials_transmission / KHR_materials_ior: drives the GGX
+    # dielectric ("glass") BSDF. The reference implements the same BSDF
+    # (kernels/src/bsdf.rs:107-176) but never wires it to a material;
+    # we hook it to the standard glTF extension instead.
+    transmission: float = 0.0
+    ior: float = 1.5
     # Decoded texture images as float32 [H, W, 4] in [0, 1], or None.
     albedo_texture: Optional[np.ndarray] = None
     metallic_texture: Optional[np.ndarray] = None
@@ -244,6 +250,13 @@ def load_glb(path: str) -> GltfScene:
             m.roughness_texture = np.repeat(img[..., 1:2], 4, axis=-1)  # G channel
         if "normalTexture" in mat:
             m.normal_texture = get_image(mat["normalTexture"]["index"])
+        ext = mat.get("extensions", {})
+        if "KHR_materials_transmission" in ext:
+            m.transmission = float(
+                ext["KHR_materials_transmission"].get("transmissionFactor", 0.0)
+            )
+        if "KHR_materials_ior" in ext:
+            m.ior = float(ext["KHR_materials_ior"].get("ior", 1.5))
         materials.append(m)
     if not materials:
         materials.append(GltfMaterial())

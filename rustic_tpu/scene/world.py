@@ -34,6 +34,8 @@ ATTR_ROUGH = slice(40, 44)
 ATTR_METAL = slice(44, 48)
 ATTR_NORMTEX = slice(48, 52)
 ATTR_HASTEX = slice(52, 56)  # albedo, metallic, roughness, normal flags
+ATTR_TRANSMISSION = 56  # KHR_materials_transmission factor
+ATTR_IOR = 57  # KHR_materials_ior
 ATTR_WIDTH = 64
 
 # Packed per-triangle light-row layout (light_rows[:, i]):
@@ -106,6 +108,7 @@ class SceneArrays(struct.PyTreeNode):
     n_nodes: int = struct.field(pytree_node=False, default=0)
     has_lights: bool = struct.field(pytree_node=False, default=False)
     has_textures: bool = struct.field(pytree_node=False, default=False)
+    has_glass: bool = struct.field(pytree_node=False, default=False)
 
 
 def _triangle_features(
@@ -185,6 +188,7 @@ class World:
 
         # ---- texture atlas --------------------------------------------------
         n_mats = len(gltf.materials)
+        mat_transmission = np.zeros((n_mats, 2), np.float32)
         mat_emissive = np.zeros((n_mats, 3), np.float32)
         mat_albedo = np.zeros((n_mats, 4), np.float32)
         mat_roughness = np.zeros((n_mats, 4), np.float32)
@@ -199,6 +203,7 @@ class World:
             mat_roughness[mi] = m.roughness
             mat_metallic[mi] = m.metallic
             mat_emissive[mi] = m.emissive
+            mat_transmission[mi] = (m.transmission, m.ior)
             for field, tex in (
                 ("albedo", m.albedo_texture),
                 ("metallic", m.metallic_texture),
@@ -243,6 +248,7 @@ class World:
         )
 
         self.mat_emissive = mat_emissive
+        self.mat_transmission = mat_transmission
         self.mat_albedo = mat_albedo
         self.mat_roughness = mat_roughness
         self.mat_metallic = mat_metallic
@@ -275,6 +281,8 @@ class World:
         attrs[:t_count, ATTR_METAL] = self.mat_metallic[mi]
         attrs[:t_count, ATTR_NORMTEX] = self.mat_normals[mi]
         attrs[:t_count, ATTR_HASTEX] = self.mat_has_tex[mi]
+        attrs[:t_count, ATTR_TRANSMISSION] = self.mat_transmission[mi, 0]
+        attrs[:t_count, ATTR_IOR] = self.mat_transmission[mi, 1]
         self.tri_attrs = attrs
 
         light_rows = np.zeros((t_count, LIGHT_WIDTH), np.float32)
@@ -337,6 +345,7 @@ class World:
             n_nodes=self.bvh.n_nodes,
             has_lights=not lt.is_sentinel,
             has_textures=bool(self.mat_has_tex.any()),
+            has_glass=bool((self.mat_transmission[:, 0] > 0.0).any()),
         )
 
 
