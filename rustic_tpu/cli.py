@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--engine", choices=["auto", "brute", "bvh"], default="auto")
     r.add_argument("--sync-rate", type=int, default=32)
     r.add_argument("--progressive", action="store_true")
+    r.add_argument(
+        "--interactive",
+        action="store_true",
+        help="open the progressive viewer (requires a display)",
+    )
     r.add_argument("--sharded", action="store_true", help="use all devices (shard_map)")
     r.add_argument("--checkpoint", default=None, help="save/resume .npz checkpoint")
 
@@ -116,6 +121,11 @@ def cmd_render(args) -> int:
     print(f"[rustic_tpu] scene ready in {time.time() - t0:.2f}s", file=sys.stderr)
 
     t0 = time.time()
+    if args.interactive:
+        from rustic_tpu.runtime.viewer import Viewer
+
+        Viewer(scene, config, settings).run()
+        return 0
     if args.progressive or args.checkpoint:
         from rustic_tpu.runtime.state import Checkpoint, TracingState
 
