@@ -58,7 +58,7 @@ def pick_light(scene, r1, r2):
     take_a = r2 < row[:, W.ALIAS_RATIO]
     idx = jnp.where(
         take_a, row[:, W.ALIAS_IDX_A], row[:, W.ALIAS_IDX_B]
-    ).astype(jnp.int32)
+    ).astype(jnp.int32)  # COMPACT light-space index
     area = jnp.where(take_a, row[:, W.ALIAS_AREA_A], row[:, W.ALIAS_AREA_B])
     pdf = jnp.where(take_a, row[:, W.ALIAS_PDF_A], row[:, W.ALIAS_PDF_B])
     return idx, area, pdf
@@ -120,6 +120,7 @@ def prepare_direct_lighting(
     # flat-shaded light normal (reference: kernels/src/light_pick.rs:129)
     light_normal = lrow[:, W.LIGHT_NORMAL]
     light_emission = lrow[:, W.LIGHT_EMISSION]
+    light_tri_global = lrow[:, W.LIGHT_TRI_IDX].astype(jnp.int32)
 
     light_point = pick_triangle_point(la, lb, lc, r3, r4)
     delta = light_point - surface_point
@@ -152,7 +153,7 @@ def prepare_direct_lighting(
         light_normal=light_normal,
         light_pick_pdf=light_pick_pdf,
         light_emission=light_emission,
-        light_triangle_index=light_idx,
+        light_triangle_index=light_tri_global,
         throughput=throughput,
         contribution=throughput * direct,
     )

@@ -103,6 +103,20 @@ def camera_rays(
     return ro, rd
 
 
+def sample_draws(cfg: StaticConfig, sample_idx, offsets) -> jnp.ndarray:
+    """All of one sample's per-bounce LDS draws, [B, 8*max_bounces]:
+    per bounce 3 BSDF + 4 NEE + 1 roulette (dims as documented above).
+    Precomputing them keeps the bounce stages free of integer RNG work
+    (and feeds the fused Pallas bounce kernel, which receives the draws
+    in its packed state block)."""
+    cols = [
+        lds(sample_idx, _AA_DIMS + b * _DIMS_PER_BOUNCE + 1 + k, offsets)
+        for b in range(cfg.max_bounces)
+        for k in range(_DIMS_PER_BOUNCE)
+    ]
+    return jnp.stack(cols, axis=-1)
+
+
 def init_state(
     cfg: StaticConfig, cam: CameraParams, px, py, sample_idx, offsets
 ) -> TraceState:
@@ -137,8 +151,7 @@ def bounce_pre(
     bounce: int,
     st: TraceState,
     res: TraceResult,
-    sample_idx,
-    offsets,
+    draws: jnp.ndarray,
     attrs: Optional[jnp.ndarray] = None,
 ) -> Tuple[TraceState, Optional[NEEPack]]:
     """Everything in one bounce except the shadow-ray visibility test:
@@ -158,7 +171,6 @@ def bounce_pre(
     batch = st.ro.shape[0]
     nee = cfg.nee
     uses_nee = nee.uses_nee and scene.has_lights
-    dim0 = _AA_DIMS + bounce * _DIMS_PER_BOUNCE + 1
     ro, rd = st.ro, st.rd
     throughput = st.throughput
     radiance = st.radiance
@@ -254,9 +266,9 @@ def bounce_pre(
     mat = bsdf_mod.material_from_attrs(
         scene, attrs, uv, cam.specular_weight_clamp
     )
-    r1 = lds(sample_idx, dim0, offsets)
-    r2 = lds(sample_idx, dim0 + 1, offsets)
-    r3 = lds(sample_idx, dim0 + 2, offsets)
+    r1 = draws[:, 0]
+    r2 = draws[:, 1]
+    r3 = draws[:, 2]
     bs = bsdf_mod.pbr_sample(mat, -rd, normal, r1, r2, r3)
     if scene.has_glass:
         # GGX dielectric for KHR_materials_transmission materials —
@@ -279,7 +291,7 @@ def bounce_pre(
     nee_pack = None
     last_light = st.last_light
     if uses_nee:
-        rn = tuple(lds(sample_idx, dim0 + 3 + k, offsets) for k in range(4))
+        rn = tuple(draws[:, 3 + k] for k in range(4))
         dls, shadow = nee_mod.prepare_direct_lighting(
             scene, nee, mat, throughput, hit_pos, normal, rd, rn
         )
@@ -309,7 +321,7 @@ def bounce_pre(
     # ---- russian roulette (kernels/src/lib.rs:174-181) ---------------------
     if bounce > cfg.min_bounces:
         prob = jnp.max(throughput, axis=-1)
-        roll = lds(sample_idx, dim0 + 7, offsets)
+        roll = draws[:, 7]
         killed = alive & (roll > prob)
         alive = alive & ~killed
         throughput = jnp.where(
@@ -358,6 +370,7 @@ def trace_paths(
 
     resolved = _pick_engine(scene, engine)
     st = init_state(cfg, cam, px, py, sample_idx, offsets)
+    draws = sample_draws(cfg, sample_idx, offsets)
     for bounce in range(cfg.max_bounces):
         if resolved == "flash":
             res, attrs = intersect_flash_attrs(
@@ -367,7 +380,8 @@ def trace_paths(
             res = intersect_nearest(scene, st.ro, st.rd, engine=engine)
             attrs = None
         st, nee_pack = bounce_pre(
-            scene, cfg, cam, bounce, st, res, sample_idx, offsets, attrs=attrs
+            scene, cfg, cam, bounce, st, res,
+            draws[:, bounce * 8 : bounce * 8 + 8], attrs=attrs,
         )
         if nee_pack is not None:
             occluded = intersect_any(

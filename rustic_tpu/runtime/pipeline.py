@@ -43,18 +43,20 @@ def _stages(cfg: StaticConfig):
     @jax.jit
     def init(cam, px, py, sample_idx, offsets):
         st = trace_mod.init_state(cfg, cam, px, py, sample_idx, offsets)
-        return st, _ray_features16(st.ro, st.rd)
+        draws = trace_mod.sample_draws(cfg, sample_idx, offsets)
+        return st, _ray_features16(st.ro, st.rd), draws
 
     def make_pre(bounce: int):
         @jax.jit
         def pre(scene, cam, st, prev_nee, prev_occ, t, idx, u, v, det, attrs,
-                sample_idx, offsets):
+                draws):
             if prev_nee is not None:
                 st = trace_mod.bounce_post(st, prev_nee, prev_occ)
             hit = t < BIG
             res = trace_mod.TraceResult(t, idx, hit, (det < 0.0) & hit, u, v)
             st2, nee_pack = trace_mod.bounce_pre(
-                scene, cfg, cam, bounce, st, res, sample_idx, offsets,
+                scene, cfg, cam, bounce, st, res,
+                draws[:, bounce * 8 : bounce * 8 + 8],
                 attrs=attrs,
             )
             next_feats = _ray_features16(st2.ro, st2.rd)
@@ -100,7 +102,7 @@ def render_batch_staged(
     interpret = jax.default_backend() != "tpu"
     for k in range(n_samples):
         sample_idx = jnp.uint32(sample_start + k)
-        st, feats = init(cam, px, py, sample_idx, offsets)
+        st, feats, draws = init(cam, px, py, sample_idx, offsets)
         prev_nee = prev_occ = None
         for bounce in range(cfg.max_bounces):
             t, idx, u, v, det, attrs = flash_nearest(
@@ -108,7 +110,7 @@ def render_batch_staged(
             )
             st, feats, nee = pres[bounce](
                 scene, cam, st, prev_nee, prev_occ, t, idx, u, v, det, attrs,
-                sample_idx, offsets,
+                draws,
             )
             prev_nee = prev_occ = None
             if nee is not None:

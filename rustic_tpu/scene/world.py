@@ -38,10 +38,13 @@ ATTR_TRANSMISSION = 56  # KHR_materials_transmission factor
 ATTR_IOR = 57  # KHR_materials_ior
 ATTR_WIDTH = 64
 
-# Packed per-triangle light-row layout (light_rows[:, i]):
+# Packed light-row layout (light_rows[:, i]) — COMPACT light space: one
+# row per emissive triangle; alias entries index into this table and
+# column LIGHT_TRI_IDX carries the global triangle id (for MIS matching).
 LIGHT_VERTS = slice(0, 9)
 LIGHT_NORMAL = slice(9, 12)  # flat normal (mean of vertex normals)
 LIGHT_EMISSION = slice(12, 15)
+LIGHT_TRI_IDX = 15  # global triangle index, stored as float
 LIGHT_WIDTH = 16
 
 # Packed alias-entry layout (alias_rows[:, i]):
@@ -285,18 +288,37 @@ class World:
         attrs[:t_count, ATTR_IOR] = self.mat_transmission[mi, 1]
         self.tri_attrs = attrs
 
-        light_rows = np.zeros((t_count, LIGHT_WIDTH), np.float32)
-        light_rows[:, LIGHT_VERTS] = self.positions[vi].reshape(t_count, 9)
-        light_rows[:, LIGHT_NORMAL] = self.normals[vi].mean(axis=1)
-        light_rows[:, LIGHT_EMISSION] = self.mat_emissive[mi]
+        # Compact light space: rows only for triangles any alias entry
+        # can pick; alias indices are remapped into it.
+        lt = self.light_table
+        if lt.is_sentinel:
+            light_ids = np.zeros(0, np.int64)
+        else:
+            light_ids = np.unique(
+                np.concatenate([lt.idx_a.astype(np.int64), lt.idx_b.astype(np.int64)])
+            )
+        lc_pad = max(8, int(-(-max(len(light_ids), 1) // 8) * 8))
+        light_rows = np.zeros((lc_pad, LIGHT_WIDTH), np.float32)
+        if len(light_ids):
+            lvi = vi[light_ids]
+            light_rows[: len(light_ids), LIGHT_VERTS] = self.positions[lvi].reshape(
+                len(light_ids), 9
+            )
+            light_rows[: len(light_ids), LIGHT_NORMAL] = self.normals[lvi].mean(axis=1)
+            light_rows[: len(light_ids), LIGHT_EMISSION] = self.mat_emissive[
+                mi[light_ids]
+            ]
+            light_rows[: len(light_ids), LIGHT_TRI_IDX] = light_ids
         self.light_rows = light_rows
 
-        lt = self.light_table
+        to_light_space = np.zeros(max(t_count, 1), np.int64)
+        to_light_space[light_ids] = np.arange(len(light_ids))
         alias = np.zeros((len(lt), ALIAS_WIDTH), np.float32)
-        alias[:, ALIAS_IDX_A] = lt.idx_a
+        if not lt.is_sentinel:
+            alias[:, ALIAS_IDX_A] = to_light_space[lt.idx_a]
+            alias[:, ALIAS_IDX_B] = to_light_space[lt.idx_b]
         alias[:, ALIAS_AREA_A] = lt.area_a
         alias[:, ALIAS_PDF_A] = lt.pdf_a
-        alias[:, ALIAS_IDX_B] = lt.idx_b
         alias[:, ALIAS_AREA_B] = lt.area_b
         alias[:, ALIAS_PDF_B] = lt.pdf_b
         alias[:, ALIAS_RATIO] = lt.ratio
