@@ -117,7 +117,7 @@ def pbr_sample(
     spec_dir = s.sample_ggx(r1, r2, refl, mat.roughness)
 
     take_spec = r3 < specular_weight
-    direction = jnp.where(take_spec[..., None], spec_dir, diff_dir)
+    direction = jnp.where(s.expand_mask(take_spec), spec_dir, diff_dir)
     lobe = jnp.where(take_spec, LOBE_SPECULAR, LOBE_DIFFUSE).astype(jnp.int32)
 
     cos_theta = jnp.maximum(s.dot(normal, direction), s.EPS)
@@ -133,7 +133,7 @@ def pbr_sample(
     )
 
     pdf = jnp.where(take_spec, pdf_s, pdf_d)
-    spectrum = jnp.where(take_spec[..., None], spec_s, spec_d)
+    spectrum = jnp.where(s.expand_mask(take_spec), spec_s, spec_d)
     return BSDFSample(pdf=pdf, lobe=lobe, spectrum=spectrum, direction=direction)
 
 
@@ -255,7 +255,7 @@ def lambertian_sample(albedo, normal, r1, r2) -> BSDFSample:
 
 def glass_sample(albedo, ior, roughness, view, normal, r1, r2, r3) -> BSDFSample:
     inside = s.dot(normal, view) < 0.0
-    n = jnp.where(inside[..., None], -normal, normal)
+    n = jnp.where(s.expand_mask(inside), -normal, normal)
     in_ior = jnp.where(inside, ior, 1.0)
     out_ior = jnp.where(inside, 1.0, ior)
 
@@ -274,8 +274,8 @@ def glass_sample(albedo, ior, roughness, view, normal, r1, r2, r3) -> BSDFSample
     refract_dir = s.normalize(refr_scale[..., None] * m - eta[..., None] * view)
 
     reflecting = r3 <= fresnel
-    direction = jnp.where(reflecting[..., None], reflect_dir, refract_dir)
-    spectrum = jnp.where(reflecting[..., None], jnp.ones_like(albedo), albedo)
+    direction = jnp.where(s.expand_mask(reflecting), reflect_dir, refract_dir)
+    spectrum = jnp.where(s.expand_mask(reflecting), jnp.ones_like(albedo), albedo)
     lobe = jnp.where(reflecting, LOBE_SPECULAR, LOBE_SPECULAR_T).astype(jnp.int32)
     pdf = jnp.ones(r3.shape, jnp.float32)  # delta distribution
     return BSDFSample(pdf=pdf, lobe=lobe, spectrum=spectrum, direction=direction)

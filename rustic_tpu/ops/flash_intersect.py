@@ -149,6 +149,60 @@ def _nearest_kernel_multi(f_ref, g_ref, attr_ref, t_ref, idx_ref, u_ref, v_ref, 
     out_attr_ref[...] = jnp.where(better[:, None], attr_b, out_attr_ref[...])
 
 
+def _occlude_kernel_packed_single(f_ref, g_ref, occ_ref):
+    """Occlusion for packed shadow-feature blocks: max_t rides in
+    feature column 10 (see ops/fused_bounce.py SH_MAXT_COL)."""
+    tt = g_ref.shape[-1] // 4
+    f = f_ref[...]
+    _, _, _, t, valid = _epilogue(_pair_dot(f, g_ref[...]), tt)
+    hit = valid & (t <= f[:, 10][:, None])
+    occ_ref[0, :] = jnp.any(hit, axis=1).astype(jnp.int32)
+
+
+def _occlude_kernel_packed_multi(f_ref, g_ref, occ_ref):
+    j = pl.program_id(1)
+    tt = g_ref.shape[-1] // 4
+
+    @pl.when(j == 0)
+    def _():
+        occ_ref[...] = jnp.zeros_like(occ_ref)
+
+    f = f_ref[...]
+    _, _, _, t, valid = _epilogue(_pair_dot(f, g_ref[...]), tt)
+    hit = valid & (t <= f[:, 10][:, None])
+    occ_ref[0, :] = occ_ref[0, :] | jnp.any(hit, axis=1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("bt", "interpret"))
+def flash_occlude_packed(
+    feats: jnp.ndarray,
+    tri_feats16: jnp.ndarray,
+    bt: int = DEF_BT,
+    interpret: bool = False,
+):
+    """Any-hit for packed shadow feature blocks -> [B] i32 (1=occluded)."""
+    feats, b, nb = _pad_rays(feats, bt)
+    t_pad, tt, nt = _geometry(tri_feats16)
+    kernel = (
+        _occlude_kernel_packed_single if nt == 1 else _occlude_kernel_packed_multi
+    )
+    occ = pl.pallas_call(
+        kernel,
+        grid=(nb, nt),
+        in_specs=[
+            pl.BlockSpec((bt, 16), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 4 * tt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(feats, tri_feats16)
+    return occ.reshape(-1)[:b]
+
+
 def _occlude_kernel_single(f_ref, maxt_ref, g_ref, occ_ref):
     tt = g_ref.shape[-1] // 4
     _, _, _, t, valid = _epilogue(_pair_dot(f_ref[...], g_ref[...]), tt)

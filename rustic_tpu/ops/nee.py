@@ -45,23 +45,51 @@ class DirectLightSample(NamedTuple):
         )
 
 
-def pick_light(scene, r1, r2):
-    """O(1) alias-table pick (reference: kernels/src/light_pick.rs:8-16).
+def resolve_entry(row, r2):
+    """Resolve one fetched combined alias/geometry row (scene/world.py
+    ENTRY_*) into the picked light's fields — the second half of the
+    alias-method pick (reference: kernels/src/light_pick.rs:11-15).
 
-    One packed-row gather (scene/world.py ALIAS_*) instead of six table
-    lookups. Returns (triangle_index, area, pick_pdf), each [B]."""
+    Pure vector math on an already-fetched [B, 48] row, shared between
+    the XLA path and the fused Pallas bounce kernel. Returns a dict of
+    (area, pdf, verts a/b/c, normal, emission, tri_idx)."""
     from rustic_tpu.scene import world as W
 
-    n = scene.alias_rows.shape[0]
+    take = s.expand_mask(r2 < row[:, W.ENTRY_RATIO])
+
+    def sel(a_sl, b_sl):
+        return jnp.where(take, row[:, a_sl], row[:, b_sl])
+
+    verts = sel(W.ENTRY_A_VERTS, W.ENTRY_B_VERTS)
+    return {
+        "area": sel(
+            slice(W.ENTRY_AREA_A, W.ENTRY_AREA_A + 1),
+            slice(W.ENTRY_AREA_B, W.ENTRY_AREA_B + 1),
+        )[:, 0],
+        "pdf": sel(
+            slice(W.ENTRY_PDF_A, W.ENTRY_PDF_A + 1),
+            slice(W.ENTRY_PDF_B, W.ENTRY_PDF_B + 1),
+        )[:, 0],
+        "va": verts[:, 0:3],
+        "vb": verts[:, 3:6],
+        "vc": verts[:, 6:9],
+        "normal": sel(W.ENTRY_A_NORMAL, W.ENTRY_B_NORMAL),
+        "emission": sel(W.ENTRY_A_EMISSION, W.ENTRY_B_EMISSION),
+        "tri_idx": sel(
+            slice(W.ENTRY_A_TRI, W.ENTRY_A_TRI + 1),
+            slice(W.ENTRY_B_TRI, W.ENTRY_B_TRI + 1),
+        )[:, 0].astype(jnp.int32),
+    }
+
+
+def pick_light(scene, r1, r2):
+    """O(1) alias-table pick (reference: kernels/src/light_pick.rs:8-16):
+    one combined-row gather resolves the pick and the light's geometry.
+    Returns (global_triangle_index, area, pick_pdf), each [B]."""
+    n = scene.n_alias_entries
     entry = jnp.clip((r1 * n).astype(jnp.int32), 0, n - 1)
-    row = scene.alias_rows[entry]
-    take_a = r2 < row[:, W.ALIAS_RATIO]
-    idx = jnp.where(
-        take_a, row[:, W.ALIAS_IDX_A], row[:, W.ALIAS_IDX_B]
-    ).astype(jnp.int32)  # COMPACT light-space index
-    area = jnp.where(take_a, row[:, W.ALIAS_AREA_A], row[:, W.ALIAS_AREA_B])
-    pdf = jnp.where(take_a, row[:, W.ALIAS_PDF_A], row[:, W.ALIAS_PDF_B])
-    return idx, area, pdf
+    fields = resolve_entry(scene.entry_rows[entry], r2)
+    return fields["tri_idx"], fields["area"], fields["pdf"]
 
 
 def pick_triangle_point(a, b, c, r1, r2):
@@ -107,20 +135,20 @@ def prepare_direct_lighting(
     The occlusion result is applied by the caller (see
     ops/trace.py:bounce_post) so the shadow rays can be batched through
     a separate traversal kernel."""
-    from rustic_tpu.scene import world as W
-
     r1, r2, r3, r4 = r
-    light_idx, light_area, light_pick_pdf = pick_light(scene, r1, r2)
-
-    # one packed-row gather for the light triangle's geometry + emission
-    lrow = scene.light_rows[light_idx]
-    la = lrow[:, 0:3]
-    lb = lrow[:, 3:6]
-    lc = lrow[:, 6:9]
+    # One combined-row gather resolves the alias pick AND the picked
+    # light's geometry/emission (reference does 1 table read + 6 buffer
+    # reads, kernels/src/light_pick.rs:121-131).
+    n = scene.n_alias_entries
+    entry = jnp.clip((r1 * n).astype(jnp.int32), 0, n - 1)
+    light = resolve_entry(scene.entry_rows[entry], r2)
+    light_area = light["area"]
+    light_pick_pdf = light["pdf"]
+    la, lb, lc = light["va"], light["vb"], light["vc"]
     # flat-shaded light normal (reference: kernels/src/light_pick.rs:129)
-    light_normal = lrow[:, W.LIGHT_NORMAL]
-    light_emission = lrow[:, W.LIGHT_EMISSION]
-    light_tri_global = lrow[:, W.LIGHT_TRI_IDX].astype(jnp.int32)
+    light_normal = light["normal"]
+    light_emission = light["emission"]
+    light_tri_global = light["tri_idx"]
 
     light_point = pick_triangle_point(la, lb, lc, r3, r4)
     delta = light_point - surface_point
@@ -215,4 +243,4 @@ def bsdf_mis_contribution(
         )[..., None]
     )
     ok = same_light & (light_pdf > 0.0)
-    return jnp.where(ok[..., None], last_light.throughput * direct, 0.0)
+    return jnp.where(s.expand_mask(ok), last_light.throughput * direct, 0.0)

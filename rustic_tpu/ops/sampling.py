@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 EPS = 1e-3  # (reference: kernels/src/util.rs:5)
-PI = jnp.float32(jnp.pi)
+PI = float(jnp.pi)  # plain float: array constants cannot be captured by kernels
 
 
 def dot(a, b):
@@ -24,7 +24,12 @@ def dotk(a, b):
 
 
 def cross(a, b):
-    return jnp.cross(a, b)
+    # hand-rolled (jnp.cross lowers to a concat pattern Mosaic rejects)
+    ax, ay, az = a[..., 0], a[..., 1], a[..., 2]
+    bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
+    return jnp.stack(
+        [ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx], axis=-1
+    )
 
 
 def length(v):
@@ -63,9 +68,17 @@ def create_cartesian(up):
 
     Matches the reference's fixed arbitrary vector so sampled directions
     agree between backends (reference: kernels/src/util.rs:34-40).
+    (Written with scalar literals rather than a constant array so the
+    same code lowers inside Pallas kernels.)
     """
-    arbitrary = jnp.asarray([0.1, 0.5, 0.9], jnp.float32)
-    temp = normalize(cross(up, jnp.broadcast_to(arbitrary, up.shape)))
+    ax, ay, az = 0.1, 0.5, 0.9
+    ux, uy, uz = up[..., 0], up[..., 1], up[..., 2]
+    temp = normalize(
+        jnp.stack(
+            [uy * az - uz * ay, uz * ax - ux * az, ux * ay - uy * ax],
+            axis=-1,
+        )
+    )
     right = normalize(cross(temp, up))
     forward = normalize(cross(up, right))
     return up, right, forward
@@ -117,12 +130,11 @@ def sample_ggx(r1, r2, reflection_direction, roughness):
     h_local = jnp.stack(
         [jnp.cos(phi) * sin_theta, jnp.sin(phi) * sin_theta, cos_theta], axis=-1
     )
-    z_up = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
-    x_up = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
-    up = jnp.where(
-        (jnp.abs(reflection_direction[..., 2:3]) < 0.999),
-        jnp.broadcast_to(z_up, reflection_direction.shape),
-        jnp.broadcast_to(x_up, reflection_direction.shape),
+    take_z = jnp.abs(reflection_direction[..., 2]) < 0.999
+    zero = jnp.zeros_like(take_z, jnp.float32)
+    up = jnp.stack(
+        [jnp.where(take_z, 0.0, 1.0), zero, jnp.where(take_z, 1.0, 0.0)],
+        axis=-1,
     )
     tangent = normalize(cross(up, reflection_direction))
     bitangent = cross(reflection_direction, tangent)
@@ -207,8 +219,16 @@ def balance_heuristic(p1, p2):
     return p1 / jnp.maximum(p1 + p2, 1e-20)
 
 
+def expand_mask(m):
+    """[...] bool -> [..., 1] bool via an f32 round-trip: reshaping i1
+    vectors ("insertion of minor dim") is unsupported in Mosaic, floats
+    reshape fine. Identical semantics everywhere."""
+    return m.astype(jnp.float32)[..., None] > 0.5
+
+
 def mask_nan(v):
     """Zero out non-finite radiance — NaN containment on every accumulate
     (reference: kernels/src/util.rs:271-277)."""
-    finite = jnp.all(jnp.isfinite(v), axis=-1, keepdims=True)
-    return jnp.where(finite, v, 0.0)
+    f = jnp.isfinite(v)
+    finite = f[..., 0] & f[..., 1] & f[..., 2]
+    return jnp.where(expand_mask(finite), v, 0.0)

@@ -13,24 +13,26 @@ import jax.numpy as jnp
 from rustic_tpu.ops.sampling import dot, mask_nan
 from rustic_tpu.ops.texture import sample_bilinear
 
-# (reference: kernels/src/skybox.rs:8-16)
-_RAY_COEFF = jnp.asarray([58e-7, 135e-7, 331e-7], jnp.float32)
-_MIE_SCATTER = jnp.asarray([2e-5, 2e-5, 2e-5], jnp.float32)
-_MIE_EFFECTIVE = _MIE_SCATTER * 1.1
+# (reference: kernels/src/skybox.rs:8-16). Scalar literals only, so the
+# same code lowers both in XLA and inside Pallas kernels.
+_RAY_COEFF = (58e-7, 135e-7, 331e-7)
+_MIE_SCATTER = 2e-5
+_MIE_EFFECTIVE = 2e-5 * 1.1
 _EARTH_RADIUS = 6360e3
 _ATMOSPHERE_RADIUS = 6380e3
 _H_RAY = 8e3
 _H_MIE = 12e2
-_CENTER = jnp.asarray([0.0, -_EARTH_RADIUS, 0.0], jnp.float32)
 _STEPS = 12  # reference: kernels/src/skybox.rs:80
 
 
 def _escape(p, d, r):
-    """Distance to sphere of radius r about the earth center, -1 if none
-    (reference: kernels/src/skybox.rs:18-32)."""
-    v = p - _CENTER
-    b = dot(v, d)
-    det = b * b - dot(v, v) + r * r
+    """Distance to sphere of radius r about the earth center (at
+    (0, -R_earth, 0)), -1 if none (reference: kernels/src/skybox.rs:18-32)."""
+    vx = p[..., 0]
+    vy = p[..., 1] + _EARTH_RADIUS
+    vz = p[..., 2]
+    b = vx * d[..., 0] + vy * d[..., 1] + vz * d[..., 2]
+    det = b * b - (vx * vx + vy * vy + vz * vz) + r * r
     sq = jnp.sqrt(jnp.maximum(det, 0.0))
     t1 = -b - sq
     t2 = -b + sq
@@ -39,9 +41,10 @@ def _escape(p, d, r):
 
 
 def _densities_rm(p):
-    h = jnp.maximum(
-        jnp.linalg.norm(p - _CENTER, axis=-1) - _EARTH_RADIUS, 0.0
-    )
+    vx = p[..., 0]
+    vy = p[..., 1] + _EARTH_RADIUS
+    vz = p[..., 2]
+    h = jnp.maximum(jnp.sqrt(vx * vx + vy * vy + vz * vz) - _EARTH_RADIUS, 0.0)
     return jnp.exp(-h / _H_RAY), jnp.exp(-h / _H_MIE)
 
 
@@ -58,11 +61,11 @@ def procedural_sky(sun_direction: jnp.ndarray, ro: jnp.ndarray, rd: jnp.ndarray)
       sun_direction: [4] — xyz direction, w intensity.
       ro, rd: [..., 3] ray origin/direction.
     """
-    sundir = sun_direction[:3]
+    sundir = jnp.broadcast_to(sun_direction[:3], rd.shape)
     depth = _escape(ro, rd, _ATMOSPHERE_RADIUS) / _STEPS
 
-    i_r = jnp.zeros(rd.shape, jnp.float32)
-    i_m = jnp.zeros(rd.shape, jnp.float32)
+    i_r = [jnp.zeros(rd.shape[:-1], jnp.float32) for _ in range(3)]
+    i_m = [jnp.zeros(rd.shape[:-1], jnp.float32) for _ in range(3)]
     total_r = jnp.zeros(rd.shape[:-1], jnp.float32)
     total_m = jnp.zeros(rd.shape[:-1], jnp.float32)
     for i in range(_STEPS):
@@ -73,26 +76,34 @@ def procedural_sky(sun_direction: jnp.ndarray, ro: jnp.ndarray, rd: jnp.ndarray)
         total_r = total_r + dr
         total_m = total_m + dm
         sr, sm = _scatter_depth_int(
-            p, jnp.broadcast_to(sundir, p.shape), _escape(p, sundir, _ATMOSPHERE_RADIUS)
+            p, sundir, _escape(p, sundir, _ATMOSPHERE_RADIUS)
         )
         depth_r = total_r + sr
         depth_m = total_m + sm
-        a = jnp.exp(
-            -_RAY_COEFF * depth_r[..., None] - _MIE_EFFECTIVE * depth_m[..., None]
-        )
-        i_r = i_r + a * dr[..., None]
-        i_m = i_m + a * dm[..., None]
+        for c in range(3):
+            a = jnp.exp(-_RAY_COEFF[c] * depth_r - _MIE_EFFECTIVE * depth_m)
+            i_r[c] = i_r[c] + a * dr
+            i_m[c] = i_m[c] + a * dm
 
-    mu = dot(rd, jnp.broadcast_to(sundir, rd.shape))
-    phase_mie = 0.0196 / jnp.power(jnp.maximum(1.58 - 1.52 * mu, 1e-6), 1.5)
-    res = (
-        sun_direction[3]
-        * (1.0 + mu * mu)[..., None]
-        * (i_r * _RAY_COEFF * 0.0597 + i_m * _MIE_SCATTER * phase_mie[..., None])
+    mu = dot(rd, sundir)
+    # phase^1.5 written as x*sqrt(x) (jnp.power is not Mosaic-friendly)
+    ph = jnp.maximum(1.58 - 1.52 * mu, 1e-6)
+    phase_mie = 0.0196 / (ph * jnp.sqrt(ph))
+    scale = sun_direction[3] * (1.0 + mu * mu)
+    res = jnp.stack(
+        [
+            scale
+            * (i_r[c] * _RAY_COEFF[c] * 0.0597 + i_m[c] * _MIE_SCATTER * phase_mie)
+            for c in range(3)
+        ],
+        axis=-1,
     )
     # sqrt-then-pow(2.2) gamma juggle, NaN masked
-    # (reference: kernels/src/skybox.rs:93)
-    return mask_nan(jnp.sqrt(jnp.maximum(res, 0.0))) ** 2.2
+    # (reference: kernels/src/skybox.rs:93); x^2.2 = x^2 * x^0.2 with
+    # x^0.2 = exp(0.2*log x) guarded at zero.
+    g = mask_nan(jnp.sqrt(jnp.maximum(res, 0.0)))
+    safe = jnp.maximum(g, 1e-20)
+    return jnp.where(g > 0.0, jnp.exp(2.2 * jnp.log(safe)), 0.0)
 
 
 def image_sky(

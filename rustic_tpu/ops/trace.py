@@ -372,7 +372,7 @@ def trace_paths(
     st = init_state(cfg, cam, px, py, sample_idx, offsets)
     draws = sample_draws(cfg, sample_idx, offsets)
     for bounce in range(cfg.max_bounces):
-        if resolved == "flash":
+        if resolved in ("flash", "fused"):
             res, attrs = intersect_flash_attrs(
                 scene, st.ro, st.rd, interpret=jax.default_backend() != "tpu"
             )

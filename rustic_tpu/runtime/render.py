@@ -93,12 +93,25 @@ def render_pixels(
 
     from rustic_tpu.ops.intersect import _pick_engine
 
-    if _pick_engine(scene, engine) == "flash" and jax.default_backend() == "tpu":
-        # TPU fast path: staged pipeline around the Pallas kernels
-        # (see runtime/pipeline.py for why it is not one fused program).
-        from rustic_tpu.runtime.pipeline import render_batch_staged
+    resolved = _pick_engine(scene, engine)
+    if resolved in ("flash", "fused") and jax.default_backend() == "tpu":
+        # TPU fast path: staged pipeline around the flash kernels (see
+        # runtime/pipeline.py for why it is not one fused XLA program).
+        # engine="fused" opts into the experimental mega-bounce kernel
+        # (currently slower than the staged pipeline under the Mosaic
+        # scheduler — kept for development, not the default).
+        from rustic_tpu.runtime.pipeline import (
+            fused_applicable,
+            render_batch_fused,
+            render_batch_staged,
+        )
 
-        return render_batch_staged(
+        driver = (
+            render_batch_fused
+            if resolved == "fused" and fused_applicable(scene, cfg)
+            else render_batch_staged
+        )
+        return driver(
             scene,
             cfg,
             cam,

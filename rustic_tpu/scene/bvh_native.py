@@ -25,13 +25,32 @@ def _lib_path() -> str:
     )
 
 
+def _try_build(path: str) -> bool:
+    """Build libbvh.so on first use (kept out of git; g++ is cheap)."""
+    import subprocess
+
+    src = os.path.join(os.path.dirname(path), "bvh.cpp")
+    if not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", path, src],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return os.path.exists(path)
+    except Exception:
+        return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
     path = _lib_path()
-    if not os.path.exists(path):
+    if not os.path.exists(path) and not _try_build(path):
         return None
     lib = ctypes.CDLL(path)
     lib.bvh_build.restype = ctypes.c_int

@@ -53,6 +53,22 @@ ALIAS_IDX_B, ALIAS_AREA_B, ALIAS_PDF_B = 3, 4, 5
 ALIAS_RATIO = 6
 ALIAS_WIDTH = 8
 
+# Combined NEE entry rows (entry_rows[:, i]): everything one alias entry
+# can resolve to, in a single row — one fetch per NEE sample covers the
+# whole light-pick + light-geometry lookup.
+ENTRY_AREA_A, ENTRY_PDF_A = 0, 1
+ENTRY_AREA_B, ENTRY_PDF_B = 2, 3
+ENTRY_RATIO = 4
+ENTRY_A_VERTS = slice(8, 17)
+ENTRY_A_NORMAL = slice(17, 20)
+ENTRY_A_EMISSION = slice(20, 23)
+ENTRY_A_TRI = 23
+ENTRY_B_VERTS = slice(24, 33)
+ENTRY_B_NORMAL = slice(33, 36)
+ENTRY_B_EMISSION = slice(36, 39)
+ENTRY_B_TRI = 39
+ENTRY_WIDTH = 48
+
 
 class SceneArrays(struct.PyTreeNode):
     """Device-resident scene: everything the integrator needs, SoA.
@@ -77,9 +93,10 @@ class SceneArrays(struct.PyTreeNode):
     # needs about a hit triangle in one row, fetched gather-free by the
     # flash kernel's hit-mask matmul (see ATTR_* layout constants below).
     tri_attrs: jnp.ndarray  # [T_pad, 64] f32
-    # Packed light rows for NEE, one gather each (see LIGHT_* constants):
-    light_rows: jnp.ndarray  # [T, 16] f32 per-triangle light geometry
+    # Packed light rows for NEE (see LIGHT_*/ALIAS_*/ENTRY_* constants):
+    light_rows: jnp.ndarray  # [Lc, 16] f32 compact light-triangle geometry
     alias_rows: jnp.ndarray  # [L, 8] f32 packed alias-table entries
+    entry_rows: jnp.ndarray  # [L, 48] f32 combined alias+geometry rows
     # BVH (SoA; leaf iff count > 0)
     bvh_min: jnp.ndarray  # [N, 3] f32
     bvh_max: jnp.ndarray  # [N, 3] f32
@@ -109,6 +126,7 @@ class SceneArrays(struct.PyTreeNode):
     # static metadata
     n_tris: int = struct.field(pytree_node=False, default=0)
     n_nodes: int = struct.field(pytree_node=False, default=0)
+    n_alias_entries: int = struct.field(pytree_node=False, default=0)
     has_lights: bool = struct.field(pytree_node=False, default=False)
     has_textures: bool = struct.field(pytree_node=False, default=False)
     has_glass: bool = struct.field(pytree_node=False, default=False)
@@ -324,6 +342,36 @@ class World:
         alias[:, ALIAS_RATIO] = lt.ratio
         self.alias_rows = alias
 
+        # Combined entry rows: alias scalars + both candidate triangles'
+        # geometry, so one row fetch resolves an entire NEE light sample.
+        la_pad = max(8, int(-(-len(lt) // 8) * 8))
+        entries = np.zeros((la_pad, ENTRY_WIDTH), np.float32)
+        n_e = len(lt)
+        entries[:n_e, ENTRY_AREA_A] = lt.area_a
+        entries[:n_e, ENTRY_PDF_A] = lt.pdf_a
+        entries[:n_e, ENTRY_AREA_B] = lt.area_b
+        entries[:n_e, ENTRY_PDF_B] = lt.pdf_b
+        entries[:n_e, ENTRY_RATIO] = lt.ratio
+        if not lt.is_sentinel:
+            for side, idx_g in (("A", lt.idx_a), ("B", lt.idx_b)):
+                gi = idx_g.astype(np.int64)
+                svi = vi[gi]
+                verts = self.positions[svi].reshape(n_e, 9)
+                nrm = self.normals[svi].mean(axis=1)
+                emis = self.mat_emissive[mi[gi]]
+                if side == "A":
+                    entries[:n_e, ENTRY_A_VERTS] = verts
+                    entries[:n_e, ENTRY_A_NORMAL] = nrm
+                    entries[:n_e, ENTRY_A_EMISSION] = emis
+                    entries[:n_e, ENTRY_A_TRI] = gi
+                else:
+                    entries[:n_e, ENTRY_B_VERTS] = verts
+                    entries[:n_e, ENTRY_B_NORMAL] = nrm
+                    entries[:n_e, ENTRY_B_EMISSION] = emis
+                    entries[:n_e, ENTRY_B_TRI] = gi
+        self.entry_rows = entries
+        self.n_alias_entries = len(lt)
+
     @classmethod
     def from_path(cls, path: str) -> "World":
         return cls(load_glb(path))
@@ -352,6 +400,8 @@ class World:
             mat_metallic=jnp.asarray(self.mat_metallic),
             mat_normals=jnp.asarray(self.mat_normals),
             mat_has_tex=jnp.asarray(self.mat_has_tex),
+            entry_rows=jnp.asarray(self.entry_rows),
+            n_alias_entries=self.n_alias_entries,
             light_idx_a=jnp.asarray(lt.idx_a),
             light_area_a=jnp.asarray(lt.area_a),
             light_pdf_a=jnp.asarray(lt.pdf_a),
