@@ -38,21 +38,6 @@ ATTR_TRANSMISSION = 56  # KHR_materials_transmission factor
 ATTR_IOR = 57  # KHR_materials_ior
 ATTR_WIDTH = 64
 
-# Packed light-row layout (light_rows[:, i]) — COMPACT light space: one
-# row per emissive triangle; alias entries index into this table and
-# column LIGHT_TRI_IDX carries the global triangle id (for MIS matching).
-LIGHT_VERTS = slice(0, 9)
-LIGHT_NORMAL = slice(9, 12)  # flat normal (mean of vertex normals)
-LIGHT_EMISSION = slice(12, 15)
-LIGHT_TRI_IDX = 15  # global triangle index, stored as float
-LIGHT_WIDTH = 16
-
-# Packed alias-entry layout (alias_rows[:, i]):
-ALIAS_IDX_A, ALIAS_AREA_A, ALIAS_PDF_A = 0, 1, 2
-ALIAS_IDX_B, ALIAS_AREA_B, ALIAS_PDF_B = 3, 4, 5
-ALIAS_RATIO = 6
-ALIAS_WIDTH = 8
-
 # Combined NEE entry rows (entry_rows[:, i]): everything one alias entry
 # can resolve to, in a single row — one fetch per NEE sample covers the
 # whole light-pick + light-geometry lookup.
@@ -93,10 +78,9 @@ class SceneArrays(struct.PyTreeNode):
     # needs about a hit triangle in one row, fetched gather-free by the
     # flash kernel's hit-mask matmul (see ATTR_* layout constants below).
     tri_attrs: jnp.ndarray  # [T_pad, 64] f32
-    # Packed light rows for NEE (see LIGHT_*/ALIAS_*/ENTRY_* constants):
-    light_rows: jnp.ndarray  # [Lc, 16] f32 compact light-triangle geometry
-    alias_rows: jnp.ndarray  # [L, 8] f32 packed alias-table entries
-    entry_rows: jnp.ndarray  # [L, 48] f32 combined alias+geometry rows
+    # Combined NEE entry rows (ENTRY_* constants): one row per alias
+    # entry resolves the light pick AND the picked light's geometry.
+    entry_rows: jnp.ndarray  # [L_pad, 48] f32
     # BVH (SoA; leaf iff count > 0)
     bvh_min: jnp.ndarray  # [N, 3] f32
     bvh_max: jnp.ndarray  # [N, 3] f32
@@ -306,41 +290,7 @@ class World:
         attrs[:t_count, ATTR_IOR] = self.mat_transmission[mi, 1]
         self.tri_attrs = attrs
 
-        # Compact light space: rows only for triangles any alias entry
-        # can pick; alias indices are remapped into it.
         lt = self.light_table
-        if lt.is_sentinel:
-            light_ids = np.zeros(0, np.int64)
-        else:
-            light_ids = np.unique(
-                np.concatenate([lt.idx_a.astype(np.int64), lt.idx_b.astype(np.int64)])
-            )
-        lc_pad = max(8, int(-(-max(len(light_ids), 1) // 8) * 8))
-        light_rows = np.zeros((lc_pad, LIGHT_WIDTH), np.float32)
-        if len(light_ids):
-            lvi = vi[light_ids]
-            light_rows[: len(light_ids), LIGHT_VERTS] = self.positions[lvi].reshape(
-                len(light_ids), 9
-            )
-            light_rows[: len(light_ids), LIGHT_NORMAL] = self.normals[lvi].mean(axis=1)
-            light_rows[: len(light_ids), LIGHT_EMISSION] = self.mat_emissive[
-                mi[light_ids]
-            ]
-            light_rows[: len(light_ids), LIGHT_TRI_IDX] = light_ids
-        self.light_rows = light_rows
-
-        to_light_space = np.zeros(max(t_count, 1), np.int64)
-        to_light_space[light_ids] = np.arange(len(light_ids))
-        alias = np.zeros((len(lt), ALIAS_WIDTH), np.float32)
-        if not lt.is_sentinel:
-            alias[:, ALIAS_IDX_A] = to_light_space[lt.idx_a]
-            alias[:, ALIAS_IDX_B] = to_light_space[lt.idx_b]
-        alias[:, ALIAS_AREA_A] = lt.area_a
-        alias[:, ALIAS_PDF_A] = lt.pdf_a
-        alias[:, ALIAS_AREA_B] = lt.area_b
-        alias[:, ALIAS_PDF_B] = lt.pdf_b
-        alias[:, ALIAS_RATIO] = lt.ratio
-        self.alias_rows = alias
 
         # Combined entry rows: alias scalars + both candidate triangles'
         # geometry, so one row fetch resolves an entire NEE light sample.
@@ -388,8 +338,6 @@ class World:
             tri_feats=jnp.asarray(self.tri_feats),
             tri_feats16=jnp.asarray(self.tri_feats16),
             tri_attrs=jnp.asarray(self.tri_attrs),
-            light_rows=jnp.asarray(self.light_rows),
-            alias_rows=jnp.asarray(self.alias_rows),
             bvh_min=jnp.asarray(self.bvh.aabb_min),
             bvh_max=jnp.asarray(self.bvh.aabb_max),
             bvh_left_first=jnp.asarray(self.bvh.left_first),

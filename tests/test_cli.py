@@ -1,0 +1,110 @@
+"""End-to-end CLI coverage: render + info through the real entry point."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rustic_tpu.cli import main
+from tests.conftest import scene_path
+
+
+def test_cli_render_png_and_hdr(tmp_path, capsys):
+    out_png = os.path.join(tmp_path, "out.png")
+    out_npy = os.path.join(tmp_path, "out.npy")
+    rc = main(
+        [
+            "render",
+            scene_path("DarkCornell.glb"),
+            "--out",
+            out_png,
+            "--save-hdr",
+            out_npy,
+            "--spp",
+            "2",
+            "--size",
+            "24x16",
+            "--nee",
+            "mis",
+            "--tonemap",
+            "aces_narkowicz",
+            "--bounces",
+            "2",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(out_png)
+    film = np.load(out_npy)
+    assert film.shape == (16, 24, 3)
+    assert np.isfinite(film).all()
+
+    from PIL import Image
+
+    img = Image.open(out_png)
+    assert img.size == (24, 16)
+
+
+def test_cli_progressive_with_checkpoint(tmp_path):
+    out_png = os.path.join(tmp_path, "prog.png")
+    ckpt = os.path.join(tmp_path, "prog.npz")
+    args = [
+        "render",
+        scene_path("DarkCornell.glb"),
+        "--out",
+        out_png,
+        "--spp",
+        "2",
+        "--size",
+        "16x16",
+        "--bounces",
+        "2",
+        "--sync-rate",
+        "1",
+        "--progressive",
+        "--checkpoint",
+        ckpt,
+    ]
+    assert main(args) == 0
+    assert os.path.exists(ckpt)
+    # resume adds more samples on top of the checkpoint
+    args[args.index("--spp") + 1] = "4"
+    assert main(args) == 0
+
+
+def test_cli_info(capsys):
+    assert main(["info", scene_path("VeachMIS.glb")]) == 0
+    out = capsys.readouterr().out
+    assert "triangles:  2932" in out
+    assert "lights:     2880" in out
+
+
+def test_cli_camera_and_sun_flags(tmp_path):
+    out_png = os.path.join(tmp_path, "cam.png")
+    rc = main(
+        [
+            "render",
+            scene_path("FurnaceTest.glb"),
+            "--out",
+            out_png,
+            "--spp",
+            "1",
+            "--size",
+            "8x8",
+            "--bounces",
+            "1",
+            "--camera-pos",
+            "0,0,-3",
+            "--camera-rot",
+            "0.1,0.2",
+            "--sun",
+            "1,2,0.5",
+            "--sun-intensity",
+            "10",
+            "--specular-clamp",
+            "0.2,0.8",
+            "--engine",
+            "brute",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(out_png)
