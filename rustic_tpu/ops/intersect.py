@@ -351,6 +351,7 @@ def intersect_flash_attrs(scene, ro, rd, interpret: bool = False):
         _ray_features16(ro, rd),
         scene.tri_feats16,
         scene.tri_attrs,
+        scene.tile_aabbs,
         interpret=interpret,
     )
     hit = t < BIG
@@ -365,7 +366,8 @@ def occlude_flash(scene, ro, rd, max_t, interpret: bool = False) -> jnp.ndarray:
     from rustic_tpu.ops.flash_intersect import flash_occlude
 
     return flash_occlude(
-        _ray_features16(ro, rd), max_t, scene.tri_feats16, interpret=interpret
+        _ray_features16(ro, rd), max_t, scene.tri_feats16, scene.tile_aabbs,
+        interpret=interpret,
     )
 
 

@@ -164,7 +164,7 @@ def render_batch_fused(
             )
             if uses_nee:
                 occ = flash_occlude_packed(
-                    sh, scene.tri_feats16, interpret=interpret
+                    sh, scene.tri_feats16, scene.tile_aabbs, interpret=interpret
                 )
         film = finish(state, occ, film)
     return film
@@ -199,7 +199,7 @@ def render_batch_staged(
         prev_nee = prev_occ = None
         for bounce in range(cfg.max_bounces):
             t, idx, u, v, det, attrs = flash_nearest(
-                feats, g16, scene.tri_attrs, interpret=interpret
+                feats, g16, scene.tri_attrs, scene.tile_aabbs, interpret=interpret
             )
             st, feats, nee = pres[bounce](
                 scene, cam, st, prev_nee, prev_occ, t, idx, u, v, det, attrs,
@@ -209,7 +209,8 @@ def render_batch_staged(
             if nee is not None:
                 nee_pack, shadow_feats = nee
                 prev_occ = flash_occlude(
-                    shadow_feats, nee_pack.shadow_maxt, g16, interpret=interpret
+                    shadow_feats, nee_pack.shadow_maxt, g16, scene.tile_aabbs,
+                    interpret=interpret,
                 )
                 prev_nee = nee_pack
         film = finish(st, prev_nee, prev_occ, film)

@@ -81,6 +81,8 @@ class SceneArrays(struct.PyTreeNode):
     # Combined NEE entry rows (ENTRY_* constants): one row per alias
     # entry resolves the light pick AND the picked light's geometry.
     entry_rows: jnp.ndarray  # [L_pad, 48] f32
+    # Per-triangle-tile AABBs for kernel-side tile culling:
+    tile_aabbs: jnp.ndarray  # [NT, 8] f32 (min xyz, pad, max xyz, pad)
     # BVH (SoA; leaf iff count > 0)
     bvh_min: jnp.ndarray  # [N, 3] f32
     bvh_max: jnp.ndarray  # [N, 3] f32
@@ -153,6 +155,32 @@ def _triangle_features(
     g[6:9, :, 3] = n.T
     g[9, :, 3] = -d0
     return g
+
+
+def _tile_aabbs(
+    verts: np.ndarray, tri_vidx: np.ndarray, t_pad: int, tt: int
+) -> np.ndarray:
+    """Per-triangle-tile AABBs [nt, 8] = (min xyz, pad, max xyz, pad).
+
+    Triangles are BVH-reordered, so consecutive tiles are spatially
+    coherent and their boxes tight — the flash kernels slab-test a whole
+    ray block against a tile box and skip the MXU work for tiles no ray
+    can reach. Empty (padding-only) tiles get inverted boxes that never
+    pass the test.
+    """
+    nt = t_pad // tt
+    out = np.zeros((nt, 8), np.float32)
+    out[:, 0:3] = np.inf
+    out[:, 4:7] = -np.inf
+    pts = verts[tri_vidx].astype(np.float32)  # [T, 3, 3]
+    for j in range(nt):
+        lo = j * tt
+        hi = min(lo + tt, len(tri_vidx))
+        if hi > lo:
+            tile = pts[lo:hi].reshape(-1, 3)
+            out[j, 0:3] = tile.min(axis=0)
+            out[j, 4:7] = tile.max(axis=0)
+    return out
 
 
 def _fallback_skybox() -> np.ndarray:
@@ -265,6 +293,12 @@ class World:
         from rustic_tpu.ops.flash_intersect import pack_tri_feats16
 
         self.tri_feats16 = pack_tri_feats16(self.tri_feats)
+        from rustic_tpu.ops.flash_intersect import tile_size
+
+        t_pad = self.tri_feats16.shape[-1] // 4
+        self.tile_aabbs = _tile_aabbs(
+            self.positions, triangles[:, :3], t_pad, tile_size(t_pad)
+        )
         self._pack_shading_rows()
 
     def _pack_shading_rows(self):
@@ -349,6 +383,7 @@ class World:
             mat_normals=jnp.asarray(self.mat_normals),
             mat_has_tex=jnp.asarray(self.mat_has_tex),
             entry_rows=jnp.asarray(self.entry_rows),
+            tile_aabbs=jnp.asarray(self.tile_aabbs),
             n_alias_entries=self.n_alias_entries,
             light_idx_a=jnp.asarray(lt.idx_a),
             light_area_a=jnp.asarray(lt.area_a),
