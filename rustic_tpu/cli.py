@@ -81,6 +81,18 @@ def build_parser() -> argparse.ArgumentParser:
     b = sub.add_parser("bench", help="run the headline benchmark")
     b.add_argument("--spp", type=int, default=160)
 
+    c = sub.add_parser(
+        "compare", help="RMSE between intersection engines / vs a reference film"
+    )
+    c.add_argument("scene")
+    c.add_argument("--spp", type=int, default=16)
+    c.add_argument("--size", default="128x128")
+    c.add_argument("--nee", choices=sorted(_NEE), default="mis")
+    c.add_argument(
+        "--reference", default=None, help=".npy reference film (created if missing)"
+    )
+    c.add_argument("--reference-spp", type=int, default=None)
+
     i = sub.add_parser("info", help="print scene statistics")
     i.add_argument("scene")
     return p
@@ -190,12 +202,36 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_compare(args) -> int:
+    import json
+
+    from rustic_tpu.scene.world import load_scene
+    from rustic_tpu.utils.compare import compare_engines, reference_compare
+
+    scene = load_scene(args.scene)
+    w, h = (int(v) for v in args.size.split("x"))
+    config = TracingConfig(width=w, height=h, nee=_NEE[args.nee])
+    result = {"engines": compare_engines(scene, config, args.spp)}
+    if args.reference:
+        result["reference"] = reference_compare(
+            scene,
+            config,
+            args.spp,
+            args.reference,
+            reference_samples=args.reference_spp,
+        )
+    print(json.dumps(result, indent=2))
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "render":
         return cmd_render(args)
     if args.command == "info":
         return cmd_info(args)
+    if args.command == "compare":
+        return cmd_compare(args)
     if args.command == "bench":
         import bench
 
