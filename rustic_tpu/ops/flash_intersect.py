@@ -92,39 +92,41 @@ def _pair_dot(f_tile, g_block):
 
 
 def _tile_winner(f_tile, g_block, attr_block, tt):
-    det, u, v, t, valid = _epilogue(_pair_dot(f_tile, g_block), tt)
+    """Nearest valid candidate of one tile: (t, index, packed attr row).
+
+    u/v/backface are NOT reduced out of the pair grid — the winner's
+    vertices ride in its attr row, and the consumer re-derives them with
+    one exact f32 Möller–Trumbore (ops/intersect.py:refine_from_attrs).
+    That trades three masked cross-lane reductions per tile step for ~30
+    VPU ops per ray once per scan.
+    """
+    _, _, _, t, valid = _epilogue(_pair_dot(f_tile, g_block), tt)
     tm = jnp.where(valid, t, BIG)
     tile_min = jnp.min(tm, axis=1)
     tile_arg = jnp.argmin(tm, axis=1).astype(jnp.int32)
     iota = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 1)
     one_hot = (iota == tile_arg[:, None]).astype(jnp.float32)
-    u_best = jnp.sum(one_hot * u, axis=1)
-    v_best = jnp.sum(one_hot * v, axis=1)
-    d_best = jnp.sum(one_hot * det, axis=1)
     attr_best = jax.lax.dot_general(
         one_hot,
         attr_block,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    return tile_min, tile_arg, u_best, v_best, d_best, attr_best
+    return tile_min, tile_arg, attr_best
 
 
-def _nearest_kernel_single(f_ref, g_ref, attr_ref, t_ref, idx_ref, u_ref, v_ref, d_ref, out_attr_ref):
+def _nearest_kernel_single(f_ref, g_ref, attr_ref, t_ref, idx_ref, out_attr_ref):
     """One triangle tile: no running combine, outputs written once."""
     tt = attr_ref.shape[0]
-    tile_min, tile_arg, u_b, v_b, d_b, attr_b = _tile_winner(
+    tile_min, tile_arg, attr_b = _tile_winner(
         f_ref[...], g_ref[...], attr_ref[...], tt
     )
     t_ref[0, :] = tile_min
     idx_ref[0, :] = tile_arg
-    u_ref[0, :] = u_b
-    v_ref[0, :] = v_b
-    d_ref[0, :] = d_b
     out_attr_ref[...] = attr_b
 
 
-def _nearest_kernel_multi(f_ref, g_ref, attr_ref, aabb_ref, t_ref, idx_ref, u_ref, v_ref, d_ref, out_attr_ref):
+def _nearest_kernel_multi(f_ref, g_ref, attr_ref, aabb_ref, t_ref, idx_ref, out_attr_ref):
     j = pl.program_id(1)
     tt = attr_ref.shape[0]
 
@@ -132,9 +134,6 @@ def _nearest_kernel_multi(f_ref, g_ref, attr_ref, aabb_ref, t_ref, idx_ref, u_re
     def _():
         t_ref[...] = jnp.full_like(t_ref, BIG)
         idx_ref[...] = jnp.zeros_like(idx_ref)
-        u_ref[...] = jnp.zeros_like(u_ref)
-        v_ref[...] = jnp.zeros_like(v_ref)
-        d_ref[...] = jnp.zeros_like(d_ref)
         out_attr_ref[...] = jnp.zeros_like(out_attr_ref)
 
     f = f_ref[...]
@@ -143,15 +142,12 @@ def _nearest_kernel_multi(f_ref, g_ref, attr_ref, aabb_ref, t_ref, idx_ref, u_re
 
     @pl.when(_tile_possible(f, aabb_row, t_ref[0, :]))
     def _():
-        tile_min, tile_arg, u_b, v_b, d_b, attr_b = _tile_winner(
+        tile_min, tile_arg, attr_b = _tile_winner(
             f, g_ref[...], attr_ref[...], tt
         )
         better = tile_min < t_ref[0, :]
         t_ref[0, :] = jnp.where(better, tile_min, t_ref[0, :])
         idx_ref[0, :] = jnp.where(better, tile_arg + j * tt, idx_ref[0, :])
-        u_ref[0, :] = jnp.where(better, u_b, u_ref[0, :])
-        v_ref[0, :] = jnp.where(better, v_b, v_ref[0, :])
-        d_ref[0, :] = jnp.where(better, d_b, d_ref[0, :])
         out_attr_ref[...] = jnp.where(better[:, None], attr_b, out_attr_ref[...])
 
 
@@ -294,8 +290,10 @@ def flash_nearest(
 ):
     """Nearest hit + winning triangle's packed shading row.
 
-    Returns t [B] (BIG when missed), idx [B] i32, u, v, det [B],
-    attrs [B, W].
+    Returns t [B] (BIG when missed), idx [B] i32, attrs [B, W]. The
+    winner's u/v/backface are re-derived exactly by the consumer from
+    the attr row's vertices (refine_from_attrs) — cheaper than reducing
+    them across triangle tiles in-kernel.
     """
     feats, b, nb = _pad_rays(feats, bt)
     t_pad, tt, nt = _geometry(tri_feats16)
@@ -320,17 +318,11 @@ def flash_nearest(
         out_specs=[
             pl.BlockSpec((1, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, width), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, nb * bt), jnp.float32),
             jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),
-            jax.ShapeDtypeStruct((1, nb * bt), jnp.float32),
-            jax.ShapeDtypeStruct((1, nb * bt), jnp.float32),
-            jax.ShapeDtypeStruct((1, nb * bt), jnp.float32),
             jax.ShapeDtypeStruct((nb * bt, width), jnp.float32),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -338,13 +330,10 @@ def flash_nearest(
         ),
         interpret=interpret,
     )(*operands)
-    t_out, idx_out, u_out, v_out, d_out, attr_out = outs
+    t_out, idx_out, attr_out = outs
     return (
         t_out.reshape(-1)[:b],
         idx_out.reshape(-1)[:b],
-        u_out.reshape(-1)[:b],
-        v_out.reshape(-1)[:b],
-        d_out.reshape(-1)[:b],
         attr_out[:b],
     )
 

@@ -340,22 +340,29 @@ def _ray_features16(ro, rd):
     return jnp.pad(f, ((0, 0), (0, 6)))
 
 
+def refine_from_attrs(attrs, ro, rd):
+    """Exact f32 Möller–Trumbore of a per-ray candidate whose vertices
+    ride in its packed attr row (columns 0:9 = a,b,c) — no gathers."""
+    return _mt_single(attrs[:, 0:3], attrs[:, 3:6], attrs[:, 6:9], ro, rd)
+
+
 def intersect_flash_attrs(scene, ro, rd, interpret: bool = False):
     """Nearest hit via the fused Pallas kernel (ops/flash_intersect.py).
     Returns (TraceResult, attrs [B, ATTR_WIDTH]) — the winning triangle's
     packed shading row rides out of the kernel, so shading needs no
-    gathers at all."""
+    gathers; u/v/backface come from one exact re-test of the winner."""
     from rustic_tpu.ops.flash_intersect import flash_nearest
 
-    t, idx, u, v, det, attrs = flash_nearest(
+    t, idx, attrs = flash_nearest(
         _ray_features16(ro, rd),
         scene.tri_feats16,
         scene.tri_attrs,
         scene.tile_aabbs,
         interpret=interpret,
     )
-    hit = t < BIG
-    return TraceResult(t, idx, hit, (det < 0.0) & hit, u, v), attrs
+    t2, u, v, backface, valid = refine_from_attrs(attrs, ro, rd)
+    hit = (t < BIG) & valid
+    return TraceResult(jnp.where(hit, t2, BIG), idx, hit, backface & hit, u, v), attrs
 
 
 def intersect_flash(scene, ro, rd, interpret: bool = False) -> TraceResult:

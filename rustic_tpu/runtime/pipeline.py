@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from rustic_tpu.config import StaticConfig
 from rustic_tpu.ops import trace as trace_mod
 from rustic_tpu.ops.flash_intersect import flash_nearest, flash_occlude
-from rustic_tpu.ops.intersect import BIG, _ray_features16
+from rustic_tpu.ops.intersect import BIG, _ray_features16, refine_from_attrs
 
 
 @functools.lru_cache(maxsize=16)
@@ -48,12 +48,14 @@ def _stages(cfg: StaticConfig):
 
     def make_pre(bounce: int):
         @jax.jit
-        def pre(scene, cam, st, prev_nee, prev_occ, t, idx, u, v, det, attrs,
-                draws):
+        def pre(scene, cam, st, prev_nee, prev_occ, t, idx, attrs, draws):
             if prev_nee is not None:
                 st = trace_mod.bounce_post(st, prev_nee, prev_occ)
-            hit = t < BIG
-            res = trace_mod.TraceResult(t, idx, hit, (det < 0.0) & hit, u, v)
+            t2, u, v, backface, valid = refine_from_attrs(attrs, st.ro, st.rd)
+            hit = (t < BIG) & valid
+            res = trace_mod.TraceResult(
+                jnp.where(hit, t2, BIG), idx, hit, backface & hit, u, v
+            )
             st2, nee_pack = trace_mod.bounce_pre(
                 scene, cfg, cam, bounce, st, res,
                 draws[:, bounce * 8 : bounce * 8 + 8],
@@ -198,12 +200,11 @@ def render_batch_staged(
         st, feats, draws = init(cam, px, py, sample_idx, offsets)
         prev_nee = prev_occ = None
         for bounce in range(cfg.max_bounces):
-            t, idx, u, v, det, attrs = flash_nearest(
+            t, idx, attrs = flash_nearest(
                 feats, g16, scene.tri_attrs, scene.tile_aabbs, interpret=interpret
             )
             st, feats, nee = pres[bounce](
-                scene, cam, st, prev_nee, prev_occ, t, idx, u, v, det, attrs,
-                draws,
+                scene, cam, st, prev_nee, prev_occ, t, idx, attrs, draws,
             )
             prev_nee = prev_occ = None
             if nee is not None:
