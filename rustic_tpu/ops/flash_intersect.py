@@ -106,11 +106,26 @@ def _tile_winner(f_tile, g_block, attr_block, tt):
     tile_arg = jnp.argmin(tm, axis=1).astype(jnp.int32)
     iota = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 1)
     one_hot = (iota == tile_arg[:, None]).astype(jnp.float32)
-    attr_best = jax.lax.dot_general(
-        one_hot,
-        attr_block,
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+
+    def select(block, precision):
+        return jax.lax.dot_general(
+            one_hot,
+            block,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+    # The first 16 columns carry the vertex positions the f32 winner
+    # re-test depends on — they must come through exactly (a DEFAULT
+    # one-hot matmul bf16-rounds the selected values!). The remaining
+    # shading columns tolerate bf16 selection.
+    attr_best = jnp.concatenate(
+        [
+            select(attr_block[:, 0:16], jax.lax.Precision.HIGHEST),
+            select(attr_block[:, 16:], jax.lax.Precision.DEFAULT),
+        ],
+        axis=1,
     )
     return tile_min, tile_arg, attr_best
 

@@ -36,7 +36,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from rustic_tpu.config import CameraParams, NextEventEstimation, StaticConfig
+from rustic_tpu.config import CameraParams, StaticConfig
 from rustic_tpu.ops import bsdf as bsdf_mod
 from rustic_tpu.ops import nee as nee_mod
 from rustic_tpu.ops import sampling as s
