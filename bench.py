@@ -38,12 +38,12 @@ def main():
     config = TracingConfig(
         width=WIDTH, height=HEIGHT, nee=NextEventEstimation.MIS
     )
-    settings = RenderSettings(samples=SPP, use_blue_noise=True)
+    settings = RenderSettings(samples=SPP)
 
     # Warmup: compiles the program (the reference ships precompiled
     # SPIR-V; XLA compiles on first dispatch).
     t0 = time.time()
-    warm = RenderSettings(samples=1, use_blue_noise=True, batch_pixels=settings.batch_pixels)
+    warm = RenderSettings(samples=1, batch_pixels=settings.batch_pixels)
     render_image(scene, config, warm)
     warmup_s = time.time() - t0
 

@@ -59,7 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--skybox", default=None, help="equirect HDR/LDR image path")
     r.add_argument("--tonemap", choices=sorted(_TONEMAP), default="none")
     r.add_argument("--denoise", action="store_true")
-    r.add_argument("--no-blue-noise", action="store_true", help="hash-seeded pixels")
+    r.add_argument(
+        "--blue-noise",
+        action="store_true",
+        help="IGN pixel seeding for nicer low-spp previews (default: hash)",
+    )
     r.add_argument("--camera-pos", default="0,1,-5")
     r.add_argument("--camera-rot", default="0,0", help="pitch,yaw (radians)")
     r.add_argument("--sun", default=None, help="sun direction x,y,z")
@@ -67,7 +71,11 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument(
         "--specular-clamp", default="0.1,0.9", help="specular weight clamp lo,hi"
     )
-    r.add_argument("--engine", choices=["auto", "brute", "bvh"], default="auto")
+    r.add_argument(
+        "--engine",
+        choices=["auto", "brute", "bvh", "flash", "fused"],
+        default="auto",
+    )
     r.add_argument("--sync-rate", type=int, default=32)
     r.add_argument("--progressive", action="store_true")
     r.add_argument(
@@ -127,7 +135,7 @@ def cmd_render(args) -> int:
         samples=args.spp,
         sync_rate=args.sync_rate,
         denoise=args.denoise,
-        use_blue_noise=not args.no_blue_noise,
+        use_blue_noise=args.blue_noise,
         tonemap=_TONEMAP[args.tonemap],
     )
     print(f"[rustic_tpu] scene ready in {time.time() - t0:.2f}s", file=sys.stderr)

@@ -149,6 +149,10 @@ class RenderSettings:
     samples: int = 32  # target sample count for synchronous renders
     sync_rate: int = 32  # samples folded into one device dispatch
     denoise: bool = False
-    use_blue_noise: bool = True
+    # Pixel-seed mode: hash offsets decorrelate fully (default); the
+    # IGN-based "blue noise" mode trades a structured residual pattern
+    # for perceptually nicer low-spp previews (the reference's blue-noise
+    # texture seeding plays the same role, src/trace.rs:149-160).
+    use_blue_noise: bool = False
     tonemap: Tonemapping = Tonemapping.NONE
     batch_pixels: int = 1 << 20  # wavefront megabatch size (paths per dispatch)
