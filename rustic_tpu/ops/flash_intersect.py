@@ -166,6 +166,116 @@ def _nearest_kernel_multi(f_ref, g_ref, attr_ref, aabb_ref, t_ref, idx_ref, out_
         out_attr_ref[...] = jnp.where(better[:, None], attr_b, out_attr_ref[...])
 
 
+def _nearest_shadow_kernel_single(f_ref, sh_ref, g_ref, attr_ref, t_ref, idx_ref, out_attr_ref, occ_ref):
+    """Merged scan: nearest hit for the current rays + any-hit for the
+    previous bounce's shadow rays (max_t in feature column 10), sharing
+    the triangle tile already resident in VMEM."""
+    tt = attr_ref.shape[0]
+    tile_min, tile_arg, attr_b = _tile_winner(
+        f_ref[...], g_ref[...], attr_ref[...], tt
+    )
+    t_ref[0, :] = tile_min
+    idx_ref[0, :] = tile_arg
+    out_attr_ref[...] = attr_b
+
+    sh = sh_ref[...]
+    _, _, _, t_s, valid_s = _epilogue(_pair_dot(sh, g_ref[...]), tt)
+    hit = valid_s & (t_s <= sh[:, 10][:, None])
+    occ_ref[0, :] = jnp.any(hit, axis=1).astype(jnp.int32)
+
+
+def _nearest_shadow_kernel_multi(f_ref, sh_ref, g_ref, attr_ref, aabb_ref, t_ref, idx_ref, out_attr_ref, occ_ref):
+    j = pl.program_id(1)
+    tt = attr_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _():
+        t_ref[...] = jnp.full_like(t_ref, BIG)
+        idx_ref[...] = jnp.zeros_like(idx_ref)
+        out_attr_ref[...] = jnp.zeros_like(out_attr_ref)
+        occ_ref[...] = jnp.zeros_like(occ_ref)
+
+    f = f_ref[...]
+    sh = sh_ref[...]
+    aabb_row = aabb_ref[pl.ds(j, 1), :][0, :]
+
+    @pl.when(_tile_possible(f, aabb_row, t_ref[0, :]))
+    def _():
+        tile_min, tile_arg, attr_b = _tile_winner(f, g_ref[...], attr_ref[...], tt)
+        better = tile_min < t_ref[0, :]
+        t_ref[0, :] = jnp.where(better, tile_min, t_ref[0, :])
+        idx_ref[0, :] = jnp.where(better, tile_arg + j * tt, idx_ref[0, :])
+        out_attr_ref[...] = jnp.where(better[:, None], attr_b, out_attr_ref[...])
+
+    @pl.when(_tile_possible(sh, aabb_row, sh[:, 10]))
+    def _():
+        _, _, _, t_s, valid_s = _epilogue(_pair_dot(sh, g_ref[...]), tt)
+        hit = valid_s & (t_s <= sh[:, 10][:, None])
+        occ_ref[0, :] = occ_ref[0, :] | jnp.any(hit, axis=1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("bt", "interpret"))
+def flash_nearest_shadow(
+    feats: jnp.ndarray,
+    shadow_feats: jnp.ndarray,
+    tri_feats16: jnp.ndarray,
+    tri_attrs: jnp.ndarray,
+    tile_aabbs: jnp.ndarray,
+    bt: int = DEF_BT,
+    interpret: bool = False,
+):
+    """Merged nearest(current rays) + occlusion(shadow rays from the
+    previous bounce, max_t packed in column 10). Returns
+    (t, idx, attrs, occluded)."""
+    feats, b, nb = _pad_rays(feats, bt)
+    shadow_feats = jnp.pad(shadow_feats, ((0, feats.shape[0] - b), (0, 0)))
+    t_pad, tt, nt = _geometry(tri_feats16)
+    width = tri_attrs.shape[-1]
+    kernel = (
+        _nearest_shadow_kernel_single if nt == 1 else _nearest_shadow_kernel_multi
+    )
+    in_specs = [
+        pl.BlockSpec((bt, 16), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bt, 16), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((16, 4 * tt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tt, width), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [feats, shadow_feats, tri_feats16, tri_attrs]
+    if nt > 1:
+        in_specs.append(
+            pl.BlockSpec((nt, 8), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(tile_aabbs)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nb, nt),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, width), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, nb * bt), jnp.float32),
+            jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),
+            jax.ShapeDtypeStruct((nb * bt, width), jnp.float32),
+            jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),
+        ],
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+    t_out, idx_out, attr_out, occ_out = outs
+    return (
+        t_out.reshape(-1)[:b],
+        idx_out.reshape(-1)[:b],
+        attr_out[:b],
+        occ_out.reshape(-1)[:b] != 0,
+    )
+
+
 def _occlude_kernel_packed_single(f_ref, g_ref, occ_ref):
     """Occlusion for packed shadow-feature blocks: max_t rides in
     feature column 10 (see ops/fused_bounce.py SH_MAXT_COL)."""

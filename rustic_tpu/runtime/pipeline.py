@@ -1,10 +1,14 @@
 """Staged render pipeline: the TPU fast path.
 
 Architecturally this is the wavefront integrator of ops/trace.py with
-the intersection kernels hoisted into their own executables: per bounce
-we dispatch [shade program] -> [flash nearest] -> [shade continues] ->
-[flash occlude] -> [NEE apply], all asynchronously queued on the device,
-so kernel launches overlap and the host never blocks until readback.
+the intersection kernels hoisted into their own executables. Per sample:
+[init] -> [flash nearest] -> per bounce b>=1: [shade bounce b-1] ->
+[merged nearest(b) + shadow-occlude(b-1)] -> ... -> [final occlude] ->
+[finish]. The previous bounce's shadow rays ride along in the next
+bounce's nearest kernel (flash_nearest_shadow) since both ray sets
+stream the same triangle tiles — halving the intersection dispatches.
+All launches are queued asynchronously; the host never blocks until
+readback.
 
 Why not one fused program? The axon TPU runtime currently stalls
 compiling modules that mix Mosaic (Pallas) custom calls with regular
@@ -26,7 +30,11 @@ import jax.numpy as jnp
 
 from rustic_tpu.config import StaticConfig
 from rustic_tpu.ops import trace as trace_mod
-from rustic_tpu.ops.flash_intersect import flash_nearest, flash_occlude
+from rustic_tpu.ops.flash_intersect import (
+    flash_nearest,
+    flash_nearest_shadow,
+    flash_occlude_packed,
+)
 from rustic_tpu.ops.intersect import BIG, _ray_features16, refine_from_attrs
 
 
@@ -64,7 +72,12 @@ def _stages(cfg: StaticConfig):
             next_feats = _ray_features16(st2.ro, st2.rd)
             if nee_pack is None:
                 return st2, next_feats, None
+            # Shadow max_t rides in the spare feature column 10 so the
+            # occlusion scan can be folded into the NEXT bounce's nearest
+            # kernel (flash_nearest_shadow) — one triangle-tile pass
+            # serves both ray sets.
             shadow_feats = _ray_features16(nee_pack.shadow_ro, nee_pack.shadow_rd)
+            shadow_feats = shadow_feats.at[:, 10].set(nee_pack.shadow_maxt)
             return st2, next_feats, (nee_pack, shadow_feats)
 
         return pre
@@ -198,21 +211,36 @@ def render_batch_staged(
     for k in range(n_samples):
         sample_idx = jnp.uint32(sample_start + k)
         st, feats, draws = init(cam, px, py, sample_idx, offsets)
-        prev_nee = prev_occ = None
+        prev_nee = pending_shadow = None
         for bounce in range(cfg.max_bounces):
-            t, idx, attrs = flash_nearest(
-                feats, g16, scene.tri_attrs, scene.tile_aabbs, interpret=interpret
-            )
+            if pending_shadow is None:
+                t, idx, attrs = flash_nearest(
+                    feats, g16, scene.tri_attrs, scene.tile_aabbs,
+                    interpret=interpret,
+                )
+                prev_occ = None
+            else:
+                # The previous bounce's shadow scan piggybacks on this
+                # bounce's nearest scan: both ray sets stream the same
+                # triangle tiles, so merging halves the kernel dispatches
+                # and the per-tile VMEM loads.
+                t, idx, attrs, prev_occ = flash_nearest_shadow(
+                    feats, pending_shadow, g16, scene.tri_attrs,
+                    scene.tile_aabbs, interpret=interpret,
+                )
             st, feats, nee = pres[bounce](
                 scene, cam, st, prev_nee, prev_occ, t, idx, attrs, draws,
             )
-            prev_nee = prev_occ = None
+            prev_nee = pending_shadow = None
             if nee is not None:
-                nee_pack, shadow_feats = nee
-                prev_occ = flash_occlude(
-                    shadow_feats, nee_pack.shadow_maxt, g16, scene.tile_aabbs,
-                    interpret=interpret,
+                prev_nee, pending_shadow = nee
+        final_occ = None
+        if pending_shadow is not None:
+            final_occ = (
+                flash_occlude_packed(
+                    pending_shadow, g16, scene.tile_aabbs, interpret=interpret
                 )
-                prev_nee = nee_pack
-        film = finish(st, prev_nee, prev_occ, film)
+                != 0
+            )
+        film = finish(st, prev_nee, final_occ, film)
     return film

@@ -62,6 +62,37 @@ def test_staged_pipeline_matches_fused(cornell_scene):
     )
 
 
+def test_staged_pipeline_matches_fused_multitile():
+    """VeachMIS spans several triangle tiles, exercising the running
+    min/or combine of the MULTI-tile merged nearest+shadow kernel
+    (the cornell variant above only covers the single-tile kernel)."""
+    from rustic_tpu.ops.trace import accumulate_samples
+    from rustic_tpu.runtime.pipeline import render_batch_staged
+    from rustic_tpu.scene.world import World
+    from tests.conftest import scene_path
+
+    scene = World.from_path(scene_path("VeachMIS.glb")).to_device()
+    config = TracingConfig(
+        width=16,
+        height=12,
+        nee=NextEventEstimation.MIS,
+        cam_position=(0.0, 2.0, -14.0),
+    )
+    cfg = config.static_part()
+    cam = config.dynamic_part()
+    y, x = np.mgrid[0:12, 0:16]
+    px = jnp.asarray(x.reshape(-1), jnp.int32)
+    py = jnp.asarray(y.reshape(-1), jnp.int32)
+    off = jnp.asarray(pixel_offsets(16, 12))
+    fused = accumulate_samples(
+        scene, cfg, cam, px, py, off, jnp.uint32(0), 2, engine="brute"
+    )
+    staged = render_batch_staged(scene, cfg, cam, px, py, off, 0, 2)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(staged), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_nee_off_and_mis_converge_together(cornell_scene):
     """NEE must change variance, not energy: low-res frames at moderate
     spp agree in overall brightness."""
