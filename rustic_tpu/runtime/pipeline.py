@@ -34,6 +34,7 @@ from rustic_tpu.ops.flash_intersect import (
     flash_nearest,
     flash_nearest_shadow,
     flash_occlude_packed,
+    pick_bt,
 )
 from rustic_tpu.ops.intersect import BIG, _ray_features16, refine_from_attrs
 
@@ -208,6 +209,7 @@ def render_batch_staged(
     )
     g16 = scene.tri_feats16
     interpret = jax.default_backend() != "tpu"
+    bt = pick_bt(g16)
     for k in range(n_samples):
         sample_idx = jnp.uint32(sample_start + k)
         st, feats, draws = init(cam, px, py, sample_idx, offsets)
@@ -216,7 +218,7 @@ def render_batch_staged(
             if pending_shadow is None:
                 t, idx, attrs = flash_nearest(
                     feats, g16, scene.tri_attrs, scene.tile_aabbs,
-                    interpret=interpret,
+                    bt=bt, interpret=interpret,
                 )
                 prev_occ = None
             else:
@@ -226,7 +228,7 @@ def render_batch_staged(
                 # and the per-tile VMEM loads.
                 t, idx, attrs, prev_occ = flash_nearest_shadow(
                     feats, pending_shadow, g16, scene.tri_attrs,
-                    scene.tile_aabbs, interpret=interpret,
+                    scene.tile_aabbs, bt=bt, interpret=interpret,
                 )
             st, feats, nee = pres[bounce](
                 scene, cam, st, prev_nee, prev_occ, t, idx, attrs, draws,
@@ -238,7 +240,8 @@ def render_batch_staged(
         if pending_shadow is not None:
             final_occ = (
                 flash_occlude_packed(
-                    pending_shadow, g16, scene.tile_aabbs, interpret=interpret
+                    pending_shadow, g16, scene.tile_aabbs,
+                    bt=bt, interpret=interpret,
                 )
                 != 0
             )
