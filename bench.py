@@ -67,6 +67,22 @@ def main():
     except Exception:
         furnace_ok = False
 
+    # Secondary metric: multi-tile (24k-triangle) scene throughput,
+    # exercising tile culling + path coherence sorting. Steady-state
+    # only (second call); skipped silently if the scene is missing.
+    pbr_mpaths = None
+    try:
+        pw = World.from_path("assets/scenes/PBRTest.glb").to_device()
+        pcfg = TracingConfig(width=256, height=144, nee=NextEventEstimation.MIS)
+        psettings = RenderSettings(samples=8)
+        render_image(pw, pcfg, psettings)  # compile
+        t0 = time.time()
+        np.asarray(render_image(pw, pcfg, psettings))
+        pbr_paths = 256 * 144 * 8 * pcfg.max_bounces
+        pbr_mpaths = round(pbr_paths / (time.time() - t0) / 1e6, 2)
+    except Exception:
+        pass
+
     result = {
         "metric": "DarkCornell 1280x720x160spp camera-path throughput",
         "value": round(mpaths_per_s, 2),
@@ -80,6 +96,7 @@ def main():
         "spp_per_s": round(SPP / render_s, 2),
         "furnace_ok": furnace_ok,
         "film_mean": round(float(film.mean()), 5),
+        "pbr_multitile_mpaths": pbr_mpaths,
     }
     print(json.dumps(result))
     return 0
