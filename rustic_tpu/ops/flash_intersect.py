@@ -1,27 +1,55 @@
-"""Flash intersection — the Pallas TPU kernel for ray/scene traversal.
+"""Flash intersection — the Pallas TPU kernels for ray/scene traversal.
 
 The XLA formulation in ops/intersect.py materializes the [rays, tris]
 Möller–Trumbore scalars in HBM, which makes traversal bandwidth-bound.
-This kernel is the fused version: ray tiles and triangle tiles stream
+These kernels are the fused version: ray tiles and triangle tiles stream
 through VMEM, the four pair-scalar blocks (det, u·det, v·det, t·det)
 come off the MXU as one [BT, 4·TT] tile, the epilogue and a *running
-min-reduction over triangle tiles* happen on-chip, and only per-ray
-results are written to HBM — flash-attention's trick applied to ray
-casting. The winning triangle's packed shading row is pulled out of the
-attribute table by a one-hot MXU matmul, so shading needs no gathers.
+min-reduction over triangle tiles* happen on-chip, and only the per-ray
+(t, winner-index) pair is written to HBM — flash-attention's trick
+applied to ray casting. The winner's packed shading row is fetched by
+ONE XLA row gather in the consumer (measured cheaper than an in-kernel
+one-hot MXU select at every batch size tried, and exact: the one-hot
+path bf16-rounds whatever a DEFAULT-precision select touches).
+
+Dot precision (static `precision` arg on every entry point):
+  "f32"    — Precision.HIGHEST pair dot everywhere. Bit-conservative;
+             the interpret (CPU test) default so flash == brute exactly.
+  "bf16x3" — compensated 3-pass bf16 split: each f32 operand is split
+             into bf16 hi + bf16 lo residual and the dot is
+             hi@hi + (hi@lo + lo@hi), f32-accumulated. A 2-way bf16
+             split carries ~16 mantissa bits, so error is ~2^-16 of the
+             summed terms vs HIGHEST's ~2^-24 (HIGHEST *is* the 3-way
+             split). ~27% faster end-to-end, but measured to bias the
+             furnace test -1.7% energy: near triangle edges the kernel
+             declares a winner that the consumer's exact f32 re-test
+             (ops/intersect.py:refine_from_attrs) rejects, and the ray
+             is lost. Opt-in only.
+  "mixed"  — nearest scans stay "f32"; shadow/occlusion any-hit scans
+             use the bf16x3 dot. Opt-in only: any-hit in bf16x3 turns
+             near-parallel (det~0) ray/triangle pairs into random
+             occluders — the split dot's ~1e-4 det noise exceeds
+             DET_EPS, and the garbage quotients u=du/det land inside
+             the valid window often enough to eat ~25% of NEE energy
+             on DarkCornell. A fix needs per-triangle det-scale
+             normalization of the G columns (quotients are invariant
+             to a common column scale) so DET_EPS can sit above the
+             noise floor — not yet implemented.
+  "auto"   — "f32" when interpret=True, else $RUSTIC_FLASH_DOT
+             (default "f32").
 
 Layout contract (built in scene/world.py):
-  ray features  F [B, 16] f32 = [rd, ro×rd, ro, 1, pad..]
+  ray features  F [B, 16] f32 = [rd, ro×rd, ro, 1, maxt, pad..]
   tri features  G [16, NT * 4 * TT] f32 — per triangle tile j the
                 columns [j*4TT : (j+1)*4TT] hold the four numerator
                 blocks [det | u | v | t], each TT wide. Zero-padded
                 triangle columns have det == 0 => never valid.
-  attr rows     A [T_pad, W] f32 packed shading rows (ATTR_* layout).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +63,8 @@ DET_EPS = 1e-6
 
 DEF_BT = 1024  # rays per tile
 DEF_TT = 512  # triangles per tile
+
+SH_MAXT_COL = 10  # shadow rays carry max_t in this spare feature column
 
 
 def padded_tri_count(t_count: int) -> int:
@@ -64,8 +94,28 @@ def pack_tri_feats16(tri_feats):
     return g.reshape(16, nt * 4 * tt)
 
 
-def _epilogue(raw, tt):
-    """[BT, 4*TT] numerators -> det, u, v, t, valid ([BT, TT] each)."""
+def resolve_precision(precision: str, interpret: bool) -> str:
+    if precision != "auto":
+        return precision
+    if interpret:
+        return "f32"
+    return os.environ.get("RUSTIC_FLASH_DOT", "f32")
+
+
+def split_bf16(a):
+    """f32 -> (bf16 hi, bf16 lo) with a == hi + lo up to bf16 lo rounding."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _epilogue(raw, tt, margin: float = 0.0):
+    """[BT, 4*TT] numerators -> u, v, t, valid ([BT, TT] each).
+
+    `margin` epsilon-expands the barycentric validity window: the
+    bf16x3 nearest scan uses it so its ~2^-16 dot error cannot reject a
+    true edge hit (a false *positive* is harmless — the consumer
+    re-tests the winner in exact f32 and clamps, classify_flash_hit)."""
     det = raw[:, 0 * tt : 1 * tt]
     u_num = raw[:, 1 * tt : 2 * tt]
     v_num = raw[:, 2 * tt : 3 * tt]
@@ -75,13 +125,31 @@ def _epilogue(raw, tt):
     u = u_num * inv
     v = v_num * inv
     t = t_num * inv
-    valid = good & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0) & (t > EPS)
-    return det, u, v, t, valid
+    m = margin
+    valid = (
+        good
+        & (u >= -m)
+        & (u <= 1.0 + m)
+        & (v >= -m)
+        & (u + v <= 1.0 + m)
+        & (t > EPS)
+    )
+    return u, v, t, valid
 
 
-def _pair_dot(f_tile, g_block):
+def _dot_default(a, b):
+    return jax.lax.dot_general(
+        a,
+        b,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+
+def _dot_f32(f_tile, g_block):
     # HIGHEST = full-f32 passes on the MXU (Mosaic supports only
-    # DEFAULT/HIGHEST; DEFAULT's bf16 mantissa breaks EPS-scale geometry).
+    # DEFAULT/HIGHEST; plain DEFAULT bf16 breaks EPS-scale geometry).
     return jax.lax.dot_general(
         f_tile,
         g_block,
@@ -91,289 +159,78 @@ def _pair_dot(f_tile, g_block):
     )
 
 
-def _tile_winner(f_tile, g_block, attr_block, tt):
-    """Nearest valid candidate of one tile: (t, index, packed attr row).
+def _dot_split3(f_tile, g_hi, g_lo):
+    f_hi, f_lo = split_bf16(f_tile)
+    return _dot_default(f_hi, g_hi) + (
+        _dot_default(f_hi, g_lo) + _dot_default(f_lo, g_hi)
+    )
 
-    u/v/backface are NOT reduced out of the pair grid — the winner's
-    vertices ride in its attr row, and the consumer re-derives them with
-    one exact f32 Möller–Trumbore (ops/intersect.py:refine_from_attrs).
-    That trades three masked cross-lane reductions per tile step for ~30
-    VPU ops per ray once per scan.
-    """
-    _, _, _, t, valid = _epilogue(_pair_dot(f_tile, g_block), tt)
+
+class _DotPlan:
+    """Which G-side operands a precision mode ships to VMEM and how the
+    nearest / any-hit scans consume them (see module docstring)."""
+
+    def __init__(self, precision: str):
+        self.precision = precision
+        # inclusive validity margin for the nearest scan when its dot is
+        # the ~2^-16 bf16 split (see _epilogue)
+        self.near_margin = 1e-3 if precision == "bf16x3" else 0.0
+        if precision == "f32":
+            self.ng = 1
+        elif precision == "bf16x3":
+            self.ng = 2
+        elif precision == "mixed":
+            self.ng = 3
+        else:
+            raise ValueError(f"unknown flash dot precision: {precision!r}")
+
+    def g_operands(self, tri_feats16):
+        if self.precision == "f32":
+            return (tri_feats16,)
+        hi, lo = split_bf16(tri_feats16)
+        if self.precision == "bf16x3":
+            return (hi, lo)
+        return (tri_feats16, hi, lo)
+
+    def dot_near(self, f_tile, g_blocks):
+        if self.precision == "bf16x3":
+            return _dot_split3(f_tile, g_blocks[0], g_blocks[1])
+        return _dot_f32(f_tile, g_blocks[0])
+
+    def dot_any(self, f_tile, g_blocks):
+        if self.precision == "f32":
+            return _dot_f32(f_tile, g_blocks[0])
+        return _dot_split3(f_tile, g_blocks[-2], g_blocks[-1])
+
+
+def _make_pair_dot(split: bool):
+    """(n_g_operands, dot) for a uniform-precision scan — kept for the
+    experimental fused bounce kernel (ops/fused_bounce.py)."""
+    if not split:
+        return 1, _dot_f32
+    return 2, _dot_split3
+
+
+def _tile_minarg(plan, f_tile, g_blocks, tt):
+    """Nearest valid candidate of one tile: (t_min, argmin)."""
+    _, _, t, valid = _epilogue(
+        plan.dot_near(f_tile, g_blocks), tt, margin=plan.near_margin
+    )
     tm = jnp.where(valid, t, BIG)
-    tile_min = jnp.min(tm, axis=1)
-    tile_arg = jnp.argmin(tm, axis=1).astype(jnp.int32)
-    iota = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 1)
-    one_hot = (iota == tile_arg[:, None]).astype(jnp.float32)
-
-    def select(block, precision):
-        return jax.lax.dot_general(
-            one_hot,
-            block,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
-
-    # The first 16 columns carry the vertex positions the f32 winner
-    # re-test depends on — they must come through exactly (a DEFAULT
-    # one-hot matmul bf16-rounds the selected values!). The remaining
-    # shading columns tolerate bf16 selection.
-    attr_best = jnp.concatenate(
-        [
-            select(attr_block[:, 0:16], jax.lax.Precision.HIGHEST),
-            select(attr_block[:, 16:], jax.lax.Precision.DEFAULT),
-        ],
-        axis=1,
-    )
-    return tile_min, tile_arg, attr_best
+    return jnp.min(tm, axis=1), jnp.argmin(tm, axis=1).astype(jnp.int32)
 
 
-def _nearest_kernel_single(f_ref, g_ref, attr_ref, t_ref, idx_ref, out_attr_ref):
-    """One triangle tile: no running combine, outputs written once."""
-    tt = attr_ref.shape[0]
-    tile_min, tile_arg, attr_b = _tile_winner(
-        f_ref[...], g_ref[...], attr_ref[...], tt
-    )
-    t_ref[0, :] = tile_min
-    idx_ref[0, :] = tile_arg
-    out_attr_ref[...] = attr_b
-
-
-def _nearest_kernel_multi(f_ref, g_ref, attr_ref, aabb_ref, t_ref, idx_ref, out_attr_ref):
-    j = pl.program_id(1)
-    tt = attr_ref.shape[0]
-
-    @pl.when(j == 0)
-    def _():
-        t_ref[...] = jnp.full_like(t_ref, BIG)
-        idx_ref[...] = jnp.zeros_like(idx_ref)
-        out_attr_ref[...] = jnp.zeros_like(out_attr_ref)
-
-    f = f_ref[...]
-
-    aabb_row = aabb_ref[pl.ds(j, 1), :][0, :]
-
-    @pl.when(_tile_possible(f, aabb_row, t_ref[0, :]))
-    def _():
-        tile_min, tile_arg, attr_b = _tile_winner(
-            f, g_ref[...], attr_ref[...], tt
-        )
-        better = tile_min < t_ref[0, :]
-        t_ref[0, :] = jnp.where(better, tile_min, t_ref[0, :])
-        idx_ref[0, :] = jnp.where(better, tile_arg + j * tt, idx_ref[0, :])
-        out_attr_ref[...] = jnp.where(better[:, None], attr_b, out_attr_ref[...])
-
-
-def _nearest_shadow_kernel_single(f_ref, sh_ref, g_ref, attr_ref, t_ref, idx_ref, out_attr_ref, occ_ref):
-    """Merged scan: nearest hit for the current rays + any-hit for the
-    previous bounce's shadow rays (max_t in feature column 10), sharing
-    the triangle tile already resident in VMEM."""
-    tt = attr_ref.shape[0]
-    tile_min, tile_arg, attr_b = _tile_winner(
-        f_ref[...], g_ref[...], attr_ref[...], tt
-    )
-    t_ref[0, :] = tile_min
-    idx_ref[0, :] = tile_arg
-    out_attr_ref[...] = attr_b
-
-    sh = sh_ref[...]
-    _, _, _, t_s, valid_s = _epilogue(_pair_dot(sh, g_ref[...]), tt)
-    hit = valid_s & (t_s <= sh[:, 10][:, None])
-    occ_ref[0, :] = jnp.any(hit, axis=1).astype(jnp.int32)
-
-
-def _nearest_shadow_kernel_multi(f_ref, sh_ref, g_ref, attr_ref, aabb_ref, t_ref, idx_ref, out_attr_ref, occ_ref):
-    j = pl.program_id(1)
-    tt = attr_ref.shape[0]
-
-    @pl.when(j == 0)
-    def _():
-        t_ref[...] = jnp.full_like(t_ref, BIG)
-        idx_ref[...] = jnp.zeros_like(idx_ref)
-        out_attr_ref[...] = jnp.zeros_like(out_attr_ref)
-        occ_ref[...] = jnp.zeros_like(occ_ref)
-
-    f = f_ref[...]
-    sh = sh_ref[...]
-    aabb_row = aabb_ref[pl.ds(j, 1), :][0, :]
-
-    @pl.when(_tile_possible(f, aabb_row, t_ref[0, :]))
-    def _():
-        tile_min, tile_arg, attr_b = _tile_winner(f, g_ref[...], attr_ref[...], tt)
-        better = tile_min < t_ref[0, :]
-        t_ref[0, :] = jnp.where(better, tile_min, t_ref[0, :])
-        idx_ref[0, :] = jnp.where(better, tile_arg + j * tt, idx_ref[0, :])
-        out_attr_ref[...] = jnp.where(better[:, None], attr_b, out_attr_ref[...])
-
-    @pl.when(_tile_possible(sh, aabb_row, sh[:, 10]))
-    def _():
-        _, _, _, t_s, valid_s = _epilogue(_pair_dot(sh, g_ref[...]), tt)
-        hit = valid_s & (t_s <= sh[:, 10][:, None])
-        occ_ref[0, :] = occ_ref[0, :] | jnp.any(hit, axis=1).astype(jnp.int32)
-
-
-@functools.partial(jax.jit, static_argnames=("bt", "interpret"))
-def flash_nearest_shadow(
-    feats: jnp.ndarray,
-    shadow_feats: jnp.ndarray,
-    tri_feats16: jnp.ndarray,
-    tri_attrs: jnp.ndarray,
-    tile_aabbs: jnp.ndarray,
-    bt: int = DEF_BT,
-    interpret: bool = False,
-):
-    """Merged nearest(current rays) + occlusion(shadow rays from the
-    previous bounce, max_t packed in column 10). Returns
-    (t, idx, attrs, occluded)."""
-    feats, b, nb = _pad_rays(feats, bt)
-    shadow_feats = jnp.pad(shadow_feats, ((0, feats.shape[0] - b), (0, 0)))
-    t_pad, tt, nt = _geometry(tri_feats16)
-    width = tri_attrs.shape[-1]
-    kernel = (
-        _nearest_shadow_kernel_single if nt == 1 else _nearest_shadow_kernel_multi
-    )
-    in_specs = [
-        pl.BlockSpec((bt, 16), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bt, 16), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((16, 4 * tt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tt, width), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-    ]
-    operands = [feats, shadow_feats, tri_feats16, tri_attrs]
-    if nt > 1:
-        in_specs.append(
-            pl.BlockSpec((nt, 8), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
-        )
-        operands.append(tile_aabbs)
-    outs = pl.pallas_call(
-        kernel,
-        grid=(nb, nt),
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, width), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, nb * bt), jnp.float32),
-            jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),
-            jax.ShapeDtypeStruct((nb * bt, width), jnp.float32),
-            jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),
-        ],
-        compiler_params=None
-        if interpret
-        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(*operands)
-    t_out, idx_out, attr_out, occ_out = outs
-    return (
-        t_out.reshape(-1)[:b],
-        idx_out.reshape(-1)[:b],
-        attr_out[:b],
-        occ_out.reshape(-1)[:b] != 0,
-    )
-
-
-def _occlude_kernel_packed_single(f_ref, g_ref, occ_ref):
-    """Occlusion for packed shadow-feature blocks: max_t rides in
-    feature column 10 (see ops/fused_bounce.py SH_MAXT_COL)."""
-    tt = g_ref.shape[-1] // 4
-    f = f_ref[...]
-    _, _, _, t, valid = _epilogue(_pair_dot(f, g_ref[...]), tt)
-    hit = valid & (t <= f[:, 10][:, None])
-    occ_ref[0, :] = jnp.any(hit, axis=1).astype(jnp.int32)
-
-
-def _occlude_kernel_packed_multi(f_ref, g_ref, aabb_ref, occ_ref):
-    j = pl.program_id(1)
-    tt = g_ref.shape[-1] // 4
-
-    @pl.when(j == 0)
-    def _():
-        occ_ref[...] = jnp.zeros_like(occ_ref)
-
-    f = f_ref[...]
-
-    aabb_row = aabb_ref[pl.ds(j, 1), :][0, :]
-
-    @pl.when(_tile_possible(f, aabb_row, f[:, 10]))
-    def _():
-        _, _, _, t, valid = _epilogue(_pair_dot(f, g_ref[...]), tt)
-        hit = valid & (t <= f[:, 10][:, None])
-        occ_ref[0, :] = occ_ref[0, :] | jnp.any(hit, axis=1).astype(jnp.int32)
-
-
-@functools.partial(jax.jit, static_argnames=("bt", "interpret"))
-def flash_occlude_packed(
-    feats: jnp.ndarray,
-    tri_feats16: jnp.ndarray,
-    tile_aabbs: jnp.ndarray,
-    bt: int = DEF_BT,
-    interpret: bool = False,
-):
-    """Any-hit for packed shadow feature blocks -> [B] i32 (1=occluded)."""
-    feats, b, nb = _pad_rays(feats, bt)
-    t_pad, tt, nt = _geometry(tri_feats16)
-    kernel = (
-        _occlude_kernel_packed_single if nt == 1 else _occlude_kernel_packed_multi
-    )
-    in_specs = [
-        pl.BlockSpec((bt, 16), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((16, 4 * tt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-    ]
-    operands = [feats, tri_feats16]
-    if nt > 1:
-        in_specs.append(
-            pl.BlockSpec((nt, 8), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
-        )
-        operands.append(tile_aabbs)
-    occ = pl.pallas_call(
-        kernel,
-        grid=(nb, nt),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(*operands)
-    return occ.reshape(-1)[:b]
-
-
-def _occlude_kernel_single(f_ref, maxt_ref, g_ref, occ_ref):
-    tt = g_ref.shape[-1] // 4
-    _, _, _, t, valid = _epilogue(_pair_dot(f_ref[...], g_ref[...]), tt)
-    hit = valid & (t <= maxt_ref[0, :][:, None])
-    occ_ref[0, :] = jnp.any(hit, axis=1).astype(jnp.int32)
-
-
-def _occlude_kernel_multi(f_ref, maxt_ref, g_ref, aabb_ref, occ_ref):
-    j = pl.program_id(1)
-    tt = g_ref.shape[-1] // 4
-
-    @pl.when(j == 0)
-    def _():
-        occ_ref[...] = jnp.zeros_like(occ_ref)
-
-    f = f_ref[...]
-    maxt = maxt_ref[0, :]
-
-    aabb_row = aabb_ref[pl.ds(j, 1), :][0, :]
-
-    @pl.when(_tile_possible(f, aabb_row, maxt))
-    def _():
-        _, _, _, t, valid = _epilogue(_pair_dot(f, g_ref[...]), tt)
-        hit = valid & (t <= maxt[:, None])
-        occ_ref[0, :] = occ_ref[0, :] | jnp.any(hit, axis=1).astype(jnp.int32)
+def _tile_anyhit(plan, f_tile, g_blocks, tt):
+    """Any valid hit within (EPS, max_t] (max_t from SH_MAXT_COL) -> [BT] i32."""
+    _, _, t, valid = _epilogue(plan.dot_any(f_tile, g_blocks), tt)
+    hit = valid & (t <= f_tile[:, SH_MAXT_COL][:, None])
+    return jnp.any(hit, axis=1).astype(jnp.int32)
 
 
 def _tile_possible(f, aabb_row, limit):
     """Can ANY ray in this block hit the tile AABB closer than its
     current limit? Scalar verdict for @pl.when tile culling. ~20 VPU ops
-    per ray vs ~100 KFLOP of MXU work per skipped tile."""
+    per ray vs a full MXU tile step per skipped tile."""
     rd = f[:, 0:3]
     ro = f[:, 6:9]
     inv = jnp.where(jnp.abs(rd) < 1e-12, jnp.where(rd < 0, -1e12, 1e12), 1.0 / rd)
@@ -385,6 +242,153 @@ def _tile_possible(f, aabb_row, limit):
     tmax = jnp.minimum(jnp.minimum(hi[:, 0], hi[:, 1]), hi[:, 2])
     ok = (tmax >= tmin) & (tmax > 0.0) & (tmin < limit)
     return jnp.any(ok)
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies (closures over the dot implementation)
+# ---------------------------------------------------------------------------
+
+
+def _nearest_single(plan):
+    ng = plan.ng
+
+    def kernel(*refs):
+        f_ref = refs[0]
+        g_blocks = tuple(r[...] for r in refs[1 : 1 + ng])
+        t_ref, idx_ref = refs[1 + ng :]
+        tt = g_blocks[0].shape[-1] // 4
+        tile_min, tile_arg = _tile_minarg(plan, f_ref[...], g_blocks, tt)
+        t_ref[0, :] = tile_min
+        idx_ref[0, :] = tile_arg
+
+    return kernel
+
+
+def _nearest_multi(plan):
+    ng = plan.ng
+
+    def kernel(*refs):
+        f_ref = refs[0]
+        g_refs = refs[1 : 1 + ng]
+        aabb_ref = refs[1 + ng]
+        t_ref, idx_ref = refs[2 + ng :]
+        j = pl.program_id(1)
+        tt = g_refs[0].shape[-1] // 4
+
+        @pl.when(j == 0)
+        def _():
+            t_ref[...] = jnp.full_like(t_ref, BIG)
+            idx_ref[...] = jnp.zeros_like(idx_ref)
+
+        f = f_ref[...]
+        aabb_row = aabb_ref[pl.ds(j, 1), :][0, :]
+
+        @pl.when(_tile_possible(f, aabb_row, t_ref[0, :]))
+        def _():
+            g_blocks = tuple(r[...] for r in g_refs)
+            tile_min, tile_arg = _tile_minarg(plan, f, g_blocks, tt)
+            better = tile_min < t_ref[0, :]
+            t_ref[0, :] = jnp.where(better, tile_min, t_ref[0, :])
+            idx_ref[0, :] = jnp.where(better, tile_arg + j * tt, idx_ref[0, :])
+
+    return kernel
+
+
+def _nearest_shadow_single(plan):
+    ng = plan.ng
+
+    def kernel(*refs):
+        f_ref, sh_ref = refs[0], refs[1]
+        g_blocks = tuple(r[...] for r in refs[2 : 2 + ng])
+        t_ref, idx_ref, occ_ref = refs[2 + ng :]
+        tt = g_blocks[0].shape[-1] // 4
+        tile_min, tile_arg = _tile_minarg(plan, f_ref[...], g_blocks, tt)
+        t_ref[0, :] = tile_min
+        idx_ref[0, :] = tile_arg
+        occ_ref[0, :] = _tile_anyhit(plan, sh_ref[...], g_blocks, tt)
+
+    return kernel
+
+
+def _nearest_shadow_multi(plan):
+    ng = plan.ng
+
+    def kernel(*refs):
+        f_ref, sh_ref = refs[0], refs[1]
+        g_refs = refs[2 : 2 + ng]
+        aabb_ref = refs[2 + ng]
+        t_ref, idx_ref, occ_ref = refs[3 + ng :]
+        j = pl.program_id(1)
+        tt = g_refs[0].shape[-1] // 4
+
+        @pl.when(j == 0)
+        def _():
+            t_ref[...] = jnp.full_like(t_ref, BIG)
+            idx_ref[...] = jnp.zeros_like(idx_ref)
+            occ_ref[...] = jnp.zeros_like(occ_ref)
+
+        f = f_ref[...]
+        sh = sh_ref[...]
+        aabb_row = aabb_ref[pl.ds(j, 1), :][0, :]
+
+        @pl.when(_tile_possible(f, aabb_row, t_ref[0, :]))
+        def _():
+            g_blocks = tuple(r[...] for r in g_refs)
+            tile_min, tile_arg = _tile_minarg(plan, f, g_blocks, tt)
+            better = tile_min < t_ref[0, :]
+            t_ref[0, :] = jnp.where(better, tile_min, t_ref[0, :])
+            idx_ref[0, :] = jnp.where(better, tile_arg + j * tt, idx_ref[0, :])
+
+        @pl.when(_tile_possible(sh, aabb_row, sh[:, SH_MAXT_COL]))
+        def _():
+            g_blocks = tuple(r[...] for r in g_refs)
+            occ_ref[0, :] = occ_ref[0, :] | _tile_anyhit(plan, sh, g_blocks, tt)
+
+    return kernel
+
+
+def _occlude_single(plan):
+    ng = plan.ng
+
+    def kernel(*refs):
+        f_ref = refs[0]
+        g_blocks = tuple(r[...] for r in refs[1 : 1 + ng])
+        occ_ref = refs[1 + ng]
+        tt = g_blocks[0].shape[-1] // 4
+        occ_ref[0, :] = _tile_anyhit(plan, f_ref[...], g_blocks, tt)
+
+    return kernel
+
+
+def _occlude_multi(plan):
+    ng = plan.ng
+
+    def kernel(*refs):
+        f_ref = refs[0]
+        g_refs = refs[1 : 1 + ng]
+        aabb_ref = refs[1 + ng]
+        occ_ref = refs[2 + ng]
+        j = pl.program_id(1)
+        tt = g_refs[0].shape[-1] // 4
+
+        @pl.when(j == 0)
+        def _():
+            occ_ref[...] = jnp.zeros_like(occ_ref)
+
+        f = f_ref[...]
+        aabb_row = aabb_ref[pl.ds(j, 1), :][0, :]
+
+        @pl.when(_tile_possible(f, aabb_row, f[:, SH_MAXT_COL]))
+        def _():
+            g_blocks = tuple(r[...] for r in g_refs)
+            occ_ref[0, :] = occ_ref[0, :] | _tile_anyhit(plan, f, g_blocks, tt)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing
+# ---------------------------------------------------------------------------
 
 
 def _pad_rays(feats, bt):
@@ -420,66 +424,185 @@ def pick_bt(tri_feats16) -> int:
     return DEF_BT if nt == 1 else 256
 
 
-@functools.partial(jax.jit, static_argnames=("bt", "interpret"))
-def flash_nearest(
-    feats: jnp.ndarray,
-    tri_feats16: jnp.ndarray,
-    tri_attrs: jnp.ndarray,
-    tile_aabbs: jnp.ndarray,
-    bt: int = DEF_BT,
-    interpret: bool = False,
-):
-    """Nearest hit + winning triangle's packed shading row.
+def _plan_for(precision: str, role: str) -> _DotPlan:
+    """Collapse `mixed` for single-role kernels so they ship only the
+    G-side operands they actually consume."""
+    if precision == "mixed":
+        if role == "near":
+            precision = "f32"
+        elif role == "any":
+            precision = "bf16x3"
+    return _DotPlan(precision)
 
-    Returns t [B] (BIG when missed), idx [B] i32, attrs [B, W]. The
-    winner's u/v/backface are re-derived exactly by the consumer from
-    the attr row's vertices (refine_from_attrs) — cheaper than reducing
-    them across triangle tiles in-kernel.
-    """
-    feats, b, nb = _pad_rays(feats, bt)
-    t_pad, tt, nt = _geometry(tri_feats16)
-    width = tri_attrs.shape[-1]
-    kernel = _nearest_kernel_single if nt == 1 else _nearest_kernel_multi
-    in_specs = [
-        pl.BlockSpec((bt, 16), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((16, 4 * tt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tt, width), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+
+def _g_specs(n, tt):
+    return [
+        pl.BlockSpec((16, 4 * tt), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+        for _ in range(n)
     ]
-    operands = [feats, tri_feats16, tri_attrs]
-    if nt > 1:
-        in_specs.append(
-            pl.BlockSpec((nt, 8), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
-        )
-        operands.append(tile_aabbs)
 
-    outs = pl.pallas_call(
-        kernel,
-        grid=(nb, nt),
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, width), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, nb * bt), jnp.float32),
-            jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),
-            jax.ShapeDtypeStruct((nb * bt, width), jnp.float32),
-        ],
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(*operands)
-    t_out, idx_out, attr_out = outs
-    return (
-        t_out.reshape(-1)[:b],
-        idx_out.reshape(-1)[:b],
-        attr_out[:b],
+
+_RAY_SPEC = lambda bt: pl.BlockSpec(  # noqa: E731
+    (bt, 16), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+)
+_ROW_SPEC = lambda bt: pl.BlockSpec(  # noqa: E731
+    (1, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM
+)
+_AABB_SPEC = lambda nt: pl.BlockSpec(  # noqa: E731
+    (nt, 8), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+)
+
+
+def _params(interpret):
+    if interpret:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def flash_nearest(feats, tri_feats16, tile_aabbs, bt=DEF_BT,
+                  interpret=False, precision="auto"):
+    """Nearest hit -> (t [B] f32, BIG when missed; idx [B] i32).
+
+    The winner's u/v/backface are re-derived exactly by the consumer
+    from one gathered attr row (ops/intersect.py:refine_from_attrs)."""
+    # resolve OUTSIDE the jit so $RUSTIC_FLASH_DOT is re-read per call,
+    # not frozen into the first trace's cache entry
+    precision = resolve_precision(precision, interpret)
+    return _flash_nearest(
+        feats, tri_feats16, tile_aabbs, bt=bt, interpret=interpret,
+        precision=precision,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("bt", "interpret"))
+@functools.partial(jax.jit, static_argnames=("bt", "interpret", "precision"))
+def _flash_nearest(
+    feats: jnp.ndarray,
+    tri_feats16: jnp.ndarray,
+    tile_aabbs: jnp.ndarray,
+    bt: int,
+    interpret: bool,
+    precision: str,
+):
+    plan = _plan_for(precision, "near")
+    feats, b, nb = _pad_rays(feats, bt)
+    t_pad, tt, nt = _geometry(tri_feats16)
+    g_ops = plan.g_operands(tri_feats16)
+    kernel = (_nearest_single if nt == 1 else _nearest_multi)(plan)
+    in_specs = [_RAY_SPEC(bt)] + _g_specs(plan.ng, tt)
+    operands = [feats, *g_ops]
+    if nt > 1:
+        in_specs.append(_AABB_SPEC(nt))
+        operands.append(tile_aabbs)
+    t_out, idx_out = pl.pallas_call(
+        kernel,
+        grid=(nb, nt),
+        in_specs=in_specs,
+        out_specs=[_ROW_SPEC(bt), _ROW_SPEC(bt)],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, nb * bt), jnp.float32),
+            jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),
+        ],
+        compiler_params=_params(interpret),
+        interpret=interpret,
+    )(*operands)
+    return t_out.reshape(-1)[:b], idx_out.reshape(-1)[:b]
+
+
+def flash_nearest_shadow(feats, shadow_feats, tri_feats16, tile_aabbs,
+                         bt=DEF_BT, interpret=False, precision="auto"):
+    """Merged nearest(current rays) + any-hit(previous bounce's shadow
+    rays, max_t packed in SH_MAXT_COL) — both ray sets stream the same
+    triangle tiles. Returns (t, idx, occluded [B] bool)."""
+    precision = resolve_precision(precision, interpret)
+    return _flash_nearest_shadow(
+        feats, shadow_feats, tri_feats16, tile_aabbs, bt=bt,
+        interpret=interpret, precision=precision,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("bt", "interpret", "precision"))
+def _flash_nearest_shadow(
+    feats: jnp.ndarray,
+    shadow_feats: jnp.ndarray,
+    tri_feats16: jnp.ndarray,
+    tile_aabbs: jnp.ndarray,
+    bt: int,
+    interpret: bool,
+    precision: str,
+):
+    plan = _DotPlan(precision)
+    feats, b, nb = _pad_rays(feats, bt)
+    shadow_feats = jnp.pad(shadow_feats, ((0, feats.shape[0] - b), (0, 0)))
+    t_pad, tt, nt = _geometry(tri_feats16)
+    g_ops = plan.g_operands(tri_feats16)
+    kernel = (_nearest_shadow_single if nt == 1 else _nearest_shadow_multi)(plan)
+    in_specs = [_RAY_SPEC(bt), _RAY_SPEC(bt)] + _g_specs(plan.ng, tt)
+    operands = [feats, shadow_feats, *g_ops]
+    if nt > 1:
+        in_specs.append(_AABB_SPEC(nt))
+        operands.append(tile_aabbs)
+    t_out, idx_out, occ_out = pl.pallas_call(
+        kernel,
+        grid=(nb, nt),
+        in_specs=in_specs,
+        out_specs=[_ROW_SPEC(bt), _ROW_SPEC(bt), _ROW_SPEC(bt)],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, nb * bt), jnp.float32),
+            jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),
+            jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),
+        ],
+        compiler_params=_params(interpret),
+        interpret=interpret,
+    )(*operands)
+    return (
+        t_out.reshape(-1)[:b],
+        idx_out.reshape(-1)[:b],
+        occ_out.reshape(-1)[:b] != 0,
+    )
+
+
+def flash_occlude_packed(feats, tri_feats16, tile_aabbs, bt=DEF_BT,
+                         interpret=False, precision="auto"):
+    """Any-hit for packed shadow feature blocks (max_t in SH_MAXT_COL)
+    -> [B] i32 (1 = occluded)."""
+    precision = resolve_precision(precision, interpret)
+    return _flash_occlude_packed(
+        feats, tri_feats16, tile_aabbs, bt=bt, interpret=interpret,
+        precision=precision,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("bt", "interpret", "precision"))
+def _flash_occlude_packed(
+    feats: jnp.ndarray,
+    tri_feats16: jnp.ndarray,
+    tile_aabbs: jnp.ndarray,
+    bt: int,
+    interpret: bool,
+    precision: str,
+):
+    plan = _plan_for(precision, "any")
+    feats, b, nb = _pad_rays(feats, bt)
+    t_pad, tt, nt = _geometry(tri_feats16)
+    g_ops = plan.g_operands(tri_feats16)
+    kernel = (_occlude_single if nt == 1 else _occlude_multi)(plan)
+    in_specs = [_RAY_SPEC(bt)] + _g_specs(plan.ng, tt)
+    operands = [feats, *g_ops]
+    if nt > 1:
+        in_specs.append(_AABB_SPEC(nt))
+        operands.append(tile_aabbs)
+    occ = pl.pallas_call(
+        kernel,
+        grid=(nb, nt),
+        in_specs=in_specs,
+        out_specs=_ROW_SPEC(bt),
+        out_shape=jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),
+        compiler_params=_params(interpret),
+        interpret=interpret,
+    )(*operands)
+    return occ.reshape(-1)[:b]
+
+
 def flash_occlude(
     feats: jnp.ndarray,
     max_t: jnp.ndarray,
@@ -487,33 +610,18 @@ def flash_occlude(
     tile_aabbs: jnp.ndarray,
     bt: int = DEF_BT,
     interpret: bool = False,
+    precision: str = "auto",
 ):
     """Any-hit within (EPS, max_t] -> [B] bool."""
-    feats, b, nb = _pad_rays(feats, bt)
-    maxt = jnp.pad(max_t, (0, feats.shape[0] - b), constant_values=-1.0)
-    t_pad, tt, nt = _geometry(tri_feats16)
-    kernel = _occlude_kernel_single if nt == 1 else _occlude_kernel_multi
-    in_specs = [
-        pl.BlockSpec((bt, 16), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((16, 4 * tt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-    ]
-    operands = [feats, maxt.reshape(1, nb * bt), tri_feats16]
-    if nt > 1:
-        in_specs.append(
-            pl.BlockSpec((nt, 8), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    feats = feats.at[:, SH_MAXT_COL].set(max_t)
+    return (
+        flash_occlude_packed(
+            feats,
+            tri_feats16,
+            tile_aabbs,
+            bt=bt,
+            interpret=interpret,
+            precision=precision,
         )
-        operands.append(tile_aabbs)
-
-    occ = pl.pallas_call(
-        kernel,
-        grid=(nb, nt),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(*operands)
-    return occ.reshape(-1)[:b] != 0
+        != 0
+    )

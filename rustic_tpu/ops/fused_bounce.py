@@ -38,9 +38,12 @@ from rustic_tpu.ops.flash_intersect import (
     DEF_BT,
     _epilogue,
     _geometry,
+    _make_pair_dot,
     _pad_rays,
-    _pair_dot,
 )
+
+# this experimental kernel keeps the bit-conservative f32 pair dot
+_pair_dot = _make_pair_dot(False)[1]
 from rustic_tpu.ops.skybox import procedural_sky
 from rustic_tpu.scene import world as W
 
@@ -363,7 +366,9 @@ def shade_tile(
 
 def _scan_tile(f_tile, g_block, attr_block, tt):
     """One triangle tile's winner (same math as flash_intersect)."""
-    det, uu, vv, t, valid = _epilogue(_pair_dot(f_tile, g_block), tt)
+    raw = _pair_dot(f_tile, g_block)
+    det = raw[:, 0 * tt : 1 * tt]
+    uu, vv, t, valid = _epilogue(raw, tt)
     tm = jnp.where(valid, t, BIG)
     tile_min = jnp.min(tm, axis=1)
     tile_arg = jnp.argmin(tm, axis=1).astype(jnp.int32)

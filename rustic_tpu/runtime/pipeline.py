@@ -10,12 +10,15 @@ stream the same triangle tiles — halving the intersection dispatches.
 All launches are queued asynchronously; the host never blocks until
 readback.
 
-Why not one fused program? The axon TPU runtime currently stalls
-compiling modules that mix Mosaic (Pallas) custom calls with regular
-XLA fusions; separate executables sidestep that and additionally reuse
-the compiled stages across scenes with equal shapes. The stage functions
-themselves are shared verbatim with the fused driver, so the CPU test
-suite exercises exactly the math that runs here.
+Why not one fused program? Measured (2026-08): a single jitted program
+containing the Pallas custom calls plus the XLA shade stages compiles
+on the axon runtime but *executes* 4-5x slower than these separately
+dispatched stages (1.07 vs 5.10 Mpaths/s at B=2^18 on DarkCornell,
+bit-identical output) — XLA's scheduling around in-loop Mosaic custom
+calls inserts large copies and serializes poorly. Separate executables
+also reuse compiled stages across scenes with equal shapes. The stage
+functions themselves are shared verbatim with the fused driver, so the
+CPU test suite exercises exactly the math that runs here.
 """
 
 from __future__ import annotations
@@ -45,7 +48,13 @@ from rustic_tpu.ops.flash_intersect import (
 # 256x144x8spp: PBRTest 1.60 -> 2.47 Mpaths/s, FurnaceTest
 # 1.12 -> 3.16. Set RUSTIC_SORT_PATHS=0 to disable.
 _SORT_PATHS = os.environ.get("RUSTIC_SORT_PATHS", "1") == "1"
-from rustic_tpu.ops.intersect import BIG, _ray_features16, refine_from_attrs
+from rustic_tpu.ops.flash_intersect import resolve_precision
+from rustic_tpu.ops.intersect import (
+    BIG,
+    _ray_features16,
+    classify_flash_hit,
+    gather_attr_rows,
+)
 
 
 def _sort_perm(scene, st, sentinel_dead):
@@ -114,13 +123,13 @@ def _sentinel_feats(feats, dead):
 
 
 @functools.lru_cache(maxsize=16)
-def _stages(cfg: StaticConfig):
+def _stages(cfg: StaticConfig, trust_kernel: bool = False):
     """Compile the per-bounce XLA stages (cached per static config).
 
     Each bounce is ONE XLA program: it folds the previous bounce's
     shadow-ray result in (bounce_post) and runs the full shade
-    (bounce_pre) off the packed attribute row the flash kernel emitted —
-    no gathers, no separate post dispatch.
+    (bounce_pre) off the winner's gathered attribute row — exactly one
+    row gather on the shading path, no separate post dispatch.
     """
 
     @jax.jit
@@ -131,13 +140,12 @@ def _stages(cfg: StaticConfig):
 
     def make_pre(bounce: int):
         @jax.jit
-        def pre(scene, cam, st, prev_nee, prev_occ, t, idx, attrs, draws):
+        def pre(scene, cam, st, prev_nee, prev_occ, t, idx, draws):
             if prev_nee is not None:
                 st = trace_mod.bounce_post(st, prev_nee, prev_occ)
-            t2, u, v, backface, valid = refine_from_attrs(attrs, st.ro, st.rd)
-            hit = (t < BIG) & valid
-            res = trace_mod.TraceResult(
-                jnp.where(hit, t2, BIG), idx, hit, backface & hit, u, v
+            attrs = gather_attr_rows(scene, idx)
+            res = classify_flash_hit(
+                t, idx, attrs, st.ro, st.rd, trust_kernel=trust_kernel
             )
             st2, nee_pack = trace_mod.bounce_pre(
                 scene, cfg, cam, bounce, st, res,
@@ -168,7 +176,7 @@ def _stages(cfg: StaticConfig):
 
 
 @functools.lru_cache(maxsize=16)
-def _stages_sorted(cfg: StaticConfig):
+def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False):
     """Variant of _stages that re-sorts paths by origin locality after
     every shade, so ray blocks stay coherent and the flash kernels' tile
     culling prunes on secondary bounces too. The film sum becomes a
@@ -183,13 +191,12 @@ def _stages_sorted(cfg: StaticConfig):
 
     def make_pre(bounce: int):
         @jax.jit
-        def pre(scene, cam, st, prev_nee, prev_occ, t, idx, attrs, draws, lane2px):
+        def pre(scene, cam, st, prev_nee, prev_occ, t, idx, draws, lane2px):
             if prev_nee is not None:
                 st = trace_mod.bounce_post(st, prev_nee, prev_occ)
-            t2, u, v, backface, valid = refine_from_attrs(attrs, st.ro, st.rd)
-            hit = (t < BIG) & valid
-            res = trace_mod.TraceResult(
-                jnp.where(hit, t2, BIG), idx, hit, backface & hit, u, v
+            attrs = gather_attr_rows(scene, idx)
+            res = classify_flash_hit(
+                t, idx, attrs, st.ro, st.rd, trust_kernel=trust_kernel
             )
             st2, nee_pack = trace_mod.bounce_pre(
                 scene, cfg, cam, bounce, st, res,
@@ -347,23 +354,24 @@ def render_batch_staged(
         else jnp.zeros((px.shape[0], 3), jnp.float32)
     )
     interpret = jax.default_backend() != "tpu"
+    prec = resolve_precision("auto", interpret)
     bt = pick_bt(g16)
     multi_tile = bt != DEF_BT  # pick_bt returns DEF_BT iff single-tile
     if _SORT_PATHS and multi_tile:
         return _render_batch_sorted(
             scene, cfg, cam, px, py, offsets, sample_start, n_samples,
-            film, bt, interpret,
+            film, bt, interpret, prec,
         )
-    init, pres, finish = _stages(cfg)
+    init, pres, finish = _stages(cfg, prec == "bf16x3")
     for k in range(n_samples):
         sample_idx = jnp.uint32(sample_start + k)
         st, feats, draws = init(cam, px, py, sample_idx, offsets)
         prev_nee = pending_shadow = None
         for bounce in range(cfg.max_bounces):
             if pending_shadow is None:
-                t, idx, attrs = flash_nearest(
-                    feats, g16, scene.tri_attrs, scene.tile_aabbs,
-                    bt=bt, interpret=interpret,
+                t, idx = flash_nearest(
+                    feats, g16, scene.tile_aabbs, bt=bt, interpret=interpret,
+                    precision=prec,
                 )
                 prev_occ = None
             else:
@@ -371,12 +379,12 @@ def render_batch_staged(
                 # bounce's nearest scan: both ray sets stream the same
                 # triangle tiles, so merging halves the kernel dispatches
                 # and the per-tile VMEM loads.
-                t, idx, attrs, prev_occ = flash_nearest_shadow(
-                    feats, pending_shadow, g16, scene.tri_attrs,
-                    scene.tile_aabbs, bt=bt, interpret=interpret,
+                t, idx, prev_occ = flash_nearest_shadow(
+                    feats, pending_shadow, g16, scene.tile_aabbs,
+                    bt=bt, interpret=interpret, precision=prec,
                 )
             st, feats, nee = pres[bounce](
-                scene, cam, st, prev_nee, prev_occ, t, idx, attrs, draws,
+                scene, cam, st, prev_nee, prev_occ, t, idx, draws,
             )
             prev_nee = pending_shadow = None
             if nee is not None:
@@ -386,7 +394,7 @@ def render_batch_staged(
             final_occ = (
                 flash_occlude_packed(
                     pending_shadow, g16, scene.tile_aabbs,
-                    bt=bt, interpret=interpret,
+                    bt=bt, interpret=interpret, precision=prec,
                 )
                 != 0
             )
@@ -396,10 +404,10 @@ def render_batch_staged(
 
 def _render_batch_sorted(
     scene, cfg, cam, px, py, offsets, sample_start, n_samples, film,
-    bt, interpret,
+    bt, interpret, prec,
 ):
     """Staged driver with per-bounce path re-sorting (see _stages_sorted)."""
-    init, pres, finish = _stages_sorted(cfg)
+    init, pres, finish = _stages_sorted(cfg, prec == "bf16x3")
     g16 = scene.tri_feats16
     for k in range(n_samples):
         sample_idx = jnp.uint32(sample_start + k)
@@ -407,18 +415,18 @@ def _render_batch_sorted(
         prev_nee = pending_shadow = None
         for bounce in range(cfg.max_bounces):
             if pending_shadow is None:
-                t, idx, attrs = flash_nearest(
-                    feats, g16, scene.tri_attrs, scene.tile_aabbs,
-                    bt=bt, interpret=interpret,
+                t, idx = flash_nearest(
+                    feats, g16, scene.tile_aabbs, bt=bt, interpret=interpret,
+                    precision=prec,
                 )
                 prev_occ = None
             else:
-                t, idx, attrs, prev_occ = flash_nearest_shadow(
-                    feats, pending_shadow, g16, scene.tri_attrs,
-                    scene.tile_aabbs, bt=bt, interpret=interpret,
+                t, idx, prev_occ = flash_nearest_shadow(
+                    feats, pending_shadow, g16, scene.tile_aabbs,
+                    bt=bt, interpret=interpret, precision=prec,
                 )
             st, feats, nee, draws, lane2px = pres[bounce](
-                scene, cam, st, prev_nee, prev_occ, t, idx, attrs,
+                scene, cam, st, prev_nee, prev_occ, t, idx,
                 draws, lane2px,
             )
             prev_nee = pending_shadow = None
@@ -429,7 +437,7 @@ def _render_batch_sorted(
             final_occ = (
                 flash_occlude_packed(
                     pending_shadow, g16, scene.tile_aabbs,
-                    bt=bt, interpret=interpret,
+                    bt=bt, interpret=interpret, precision=prec,
                 )
                 != 0
             )
