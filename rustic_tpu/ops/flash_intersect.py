@@ -26,24 +26,33 @@ Dot precision (static `precision` arg on every entry point):
              (ops/intersect.py:refine_from_attrs) rejects, and the ray
              is lost. Opt-in only.
   "mixed"  — nearest scans stay "f32"; shadow/occlusion any-hit scans
-             use the bf16x3 dot. Opt-in only: any-hit in bf16x3 turns
-             near-parallel (det~0) ray/triangle pairs into random
-             occluders — the split dot's ~1e-4 det noise exceeds
-             DET_EPS, and the garbage quotients u=du/det land inside
-             the valid window often enough to eat ~25% of NEE energy
-             on DarkCornell. A fix needs per-triangle det-scale
-             normalization of the G columns (quotients are invariant
-             to a common column scale) so DET_EPS can sit above the
-             noise floor — not yet implemented.
+             use the bf16x3 dot. Viable because of the det-scale
+             normalization in pack_tri_feats16: every triangle's four
+             numerator columns carry a common 1/|e1×e2| factor (the
+             u/v/t quotients are invariant), making det = -cosθ, so
+             the split-dot scans can raise their det threshold to
+             DET_EPS_SPLIT — far above the ~2^-16 dot noise — and a
+             noise-dominated det can no longer mint random occluders
+             (pre-normalization this ate ~25% of NEE energy on
+             DarkCornell).
   "auto"   — "f32" when interpret=True, else $RUSTIC_FLASH_DOT
-             (default "f32").
+             (default "mixed").
+
+Measured on v5e (DarkCornell 1280x720x40spp, interleaved best-of-3,
+correct compensated split): f32 5.4, mixed 5.6, bf16x3 6.4 Mpaths/s.
+Quality vs f32 at 64x64x64spp: mixed max|d| 5.7e-4 (nearest scan is
+bit-exact f32; only grazing-shadow visibility can differ), bf16x3
+max|d| 0.14 with ~2% of pixels off by >0.01 (winner misranking near
+edges) — hence mixed is the default and bf16x3 stays opt-in.
 
 Layout contract (built in scene/world.py):
   ray features  F [B, 16] f32 = [rd, ro×rd, ro, 1, maxt, pad..]
   tri features  G [16, NT * 4 * TT] f32 — per triangle tile j the
                 columns [j*4TT : (j+1)*4TT] hold the four numerator
-                blocks [det | u | v | t], each TT wide. Zero-padded
-                triangle columns have det == 0 => never valid.
+                blocks [det | u | v | t], each TT wide,
+                det-scale-normalized per triangle (see
+                pack_tri_feats16). Zero-padded triangle columns have
+                det == 0 => never valid.
 """
 
 from __future__ import annotations
@@ -60,6 +69,10 @@ from rustic_tpu.ops.sampling import EPS
 
 BIG = 1e6
 DET_EPS = 1e-6
+# det is -cosθ after det-scale normalization (pack_tri_feats16); the
+# bf16x3 split dot's det noise is ~3·2^-16 ≈ 5e-5, so 1e-3 (grazing
+# beyond 89.94°) keeps 20x headroom while rejecting noise-dominated dets
+DET_EPS_SPLIT = 1e-3
 
 DEF_BT = 1024  # rays per tile
 DEF_TT = 512  # triangles per tile
@@ -79,15 +92,26 @@ def tile_size(t_pad: int) -> int:
 
 
 def pack_tri_feats16(tri_feats):
-    """[10, T, 4] feature tensor (scene/world.py) -> [16, NT*4*TT]."""
+    """[10, T, 4] feature tensor (scene/world.py) -> [16, NT*4*TT].
+
+    Each triangle's four numerator columns are scaled by 1/|e1×e2|
+    (det-scale normalization): the u/v/t quotients are invariant to a
+    common column scale, but the normalized det becomes -cosθ ∈ [-1,1]
+    regardless of triangle size, so DET_EPS is a fixed *angular*
+    threshold that sits far above the bf16x3 split dot's ~2^-16 noise
+    floor — without it, tiny-area triangles have |det| below the noise
+    and the split dot turns near-parallel pairs into random occluders.
+    """
     import numpy as np
 
     t_count = tri_feats.shape[1]
     t_pad = padded_tri_count(t_count)
     tt = tile_size(t_pad)
     nt = t_pad // tt
-    g = np.zeros((16, nt, 4, tt), np.float32)
     src = np.moveaxis(np.asarray(tri_feats), 2, 0)  # [4, 10, T]
+    n_len = np.linalg.norm(src[0, 0:3, :], axis=0)  # |n| (det col = -n)
+    src = src * np.where(n_len > 0.0, 1.0 / np.maximum(n_len, 1e-30), 1.0)
+    g = np.zeros((16, nt, 4, tt), np.float32)
     for j in range(nt):
         cols = src[:, :, j * tt : (j + 1) * tt]
         g[: cols.shape[1], j, :, : cols.shape[2]] = np.moveaxis(cols, 0, 1)
@@ -99,28 +123,50 @@ def resolve_precision(precision: str, interpret: bool) -> str:
         return precision
     if interpret:
         return "f32"
-    return os.environ.get("RUSTIC_FLASH_DOT", "f32")
+    return os.environ.get("RUSTIC_FLASH_DOT", "mixed")
 
 
 def split_bf16(a):
-    """f32 -> (bf16 hi, bf16 lo) with a == hi + lo up to bf16 lo rounding."""
+    """f32 -> (bf16 hi, bf16 lo) with a == hi + lo up to bf16 lo rounding.
+
+    The rounding MUST go through lax.reduce_precision: writing it as
+    `a - a.astype(bf16).astype(f32)` lets XLA's excess-precision pass
+    elide the f32->bf16->f32 round-trip inside jit, making lo == 0 and
+    silently degrading the compensated dot to a single bf16 pass
+    (measured: 2.6e-3 relative error instead of ~8e-6, and 29% shadow
+    flips on FurnaceTest). reduce_precision is a real XLA op and
+    survives optimization."""
+    hi_f = jax.lax.reduce_precision(a, 8, 7)  # bf16-representable, still f32
+    hi = hi_f.astype(jnp.bfloat16)  # exact conversion
+    lo = (a - hi_f).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def split_bf16_kernel(a):
+    """In-kernel (Mosaic) variant of split_bf16. Mosaic has no
+    reduce_precision lowering, but it also has no excess-precision pass:
+    the convert+subtract formulation compiles faithfully there (verified
+    numerically against the host emulation — see split_bf16's docstring
+    for why this same code is NOT safe under XLA jit)."""
     hi = a.astype(jnp.bfloat16)
     lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo
 
 
-def _epilogue(raw, tt, margin: float = 0.0):
+def _epilogue(raw, tt, margin: float = 0.0, det_eps: float = DET_EPS):
     """[BT, 4*TT] numerators -> u, v, t, valid ([BT, TT] each).
 
     `margin` epsilon-expands the barycentric validity window: the
     bf16x3 nearest scan uses it so its ~2^-16 dot error cannot reject a
     true edge hit (a false *positive* is harmless — the consumer
-    re-tests the winner in exact f32 and clamps, classify_flash_hit)."""
+    re-tests the winner in exact f32 and clamps, classify_flash_hit).
+    `det_eps` is an *angular* threshold (det is -cosθ after the packing
+    normalization); split-dot scans raise it above their noise floor."""
     det = raw[:, 0 * tt : 1 * tt]
     u_num = raw[:, 1 * tt : 2 * tt]
     v_num = raw[:, 2 * tt : 3 * tt]
     t_num = raw[:, 3 * tt : 4 * tt]
-    good = jnp.abs(det) >= DET_EPS
+    good = jnp.abs(det) >= det_eps
     inv = jnp.where(good, pl.reciprocal(jnp.where(good, det, 1.0)), 0.0)
     u = u_num * inv
     v = v_num * inv
@@ -160,7 +206,7 @@ def _dot_f32(f_tile, g_block):
 
 
 def _dot_split3(f_tile, g_hi, g_lo):
-    f_hi, f_lo = split_bf16(f_tile)
+    f_hi, f_lo = split_bf16_kernel(f_tile)
     return _dot_default(f_hi, g_hi) + (
         _dot_default(f_hi, g_lo) + _dot_default(f_lo, g_hi)
     )
@@ -175,6 +221,8 @@ class _DotPlan:
         # inclusive validity margin for the nearest scan when its dot is
         # the ~2^-16 bf16 split (see _epilogue)
         self.near_margin = 1e-3 if precision == "bf16x3" else 0.0
+        self.near_det_eps = DET_EPS_SPLIT if precision == "bf16x3" else DET_EPS
+        self.any_det_eps = DET_EPS if precision == "f32" else DET_EPS_SPLIT
         if precision == "f32":
             self.ng = 1
         elif precision == "bf16x3":
@@ -214,7 +262,8 @@ def _make_pair_dot(split: bool):
 def _tile_minarg(plan, f_tile, g_blocks, tt):
     """Nearest valid candidate of one tile: (t_min, argmin)."""
     _, _, t, valid = _epilogue(
-        plan.dot_near(f_tile, g_blocks), tt, margin=plan.near_margin
+        plan.dot_near(f_tile, g_blocks), tt,
+        margin=plan.near_margin, det_eps=plan.near_det_eps,
     )
     tm = jnp.where(valid, t, BIG)
     return jnp.min(tm, axis=1), jnp.argmin(tm, axis=1).astype(jnp.int32)
@@ -222,7 +271,9 @@ def _tile_minarg(plan, f_tile, g_blocks, tt):
 
 def _tile_anyhit(plan, f_tile, g_blocks, tt):
     """Any valid hit within (EPS, max_t] (max_t from SH_MAXT_COL) -> [BT] i32."""
-    _, _, t, valid = _epilogue(plan.dot_any(f_tile, g_blocks), tt)
+    _, _, t, valid = _epilogue(
+        plan.dot_any(f_tile, g_blocks), tt, det_eps=plan.any_det_eps
+    )
     hit = valid & (t <= f_tile[:, SH_MAXT_COL][:, None])
     return jnp.any(hit, axis=1).astype(jnp.int32)
 

@@ -356,14 +356,17 @@ def classify_flash_hit(t_kernel, idx, attrs, ro, rd, trust_kernel: bool = False)
     """Turn a flash-kernel winner (t_kernel, gathered attr row) into an
     exact TraceResult via one f32 re-test of that triangle.
 
-    trust_kernel=False (f32/mixed nearest): a winner the exact re-test
-    rejects is a miss — with an f32 kernel scan this is vanishingly rare.
-    trust_kernel=True (bf16x3 nearest): the kernel's ~2^-16 dot can
-    declare edge-grazing winners the exact re-test rejects; dropping
-    those paths loses measurable energy (furnace -1.7%). Instead the
-    kernel's hit verdict stands: barycentrics are clamped into the
-    simplex and the kernel's t is used where the re-test's is unusable —
-    a sub-pixel geometric blur at triangle seams instead of a black path.
+    trust_kernel=False (the default for every precision): a winner the
+    exact re-test rejects is a miss. With an f32 kernel scan this is
+    vanishingly rare; with the (correctly compensated) bf16x3 scan it is
+    rare enough that dropping the path costs <0.3% energy and beats the
+    alternative below on outlier count (measured: px>0.1 error 0.07% vs
+    0.29% at 64spp).
+    trust_kernel=True (experimental): the kernel's hit verdict stands —
+    barycentrics are clamped into the simplex and the kernel's t is used
+    where the re-test's is unusable, trading lost paths for a sub-pixel
+    geometric blur at triangle seams. Was required when the bf16 split
+    was silently broken (see split_bf16); kept for experiments.
     """
     t2, u, v, backface, valid = refine_from_attrs(attrs, ro, rd)
     kernel_hit = t_kernel < BIG
@@ -397,7 +400,7 @@ def intersect_flash_attrs(scene, ro, rd, interpret: bool = False):
     )
     attrs = gather_attr_rows(scene, idx)
     res = classify_flash_hit(
-        t, idx, attrs, ro, rd, trust_kernel=prec == "bf16x3"
+        t, idx, attrs, ro, rd
     )
     return res, attrs
 

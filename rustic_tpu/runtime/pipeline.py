@@ -362,7 +362,7 @@ def render_batch_staged(
             scene, cfg, cam, px, py, offsets, sample_start, n_samples,
             film, bt, interpret, prec,
         )
-    init, pres, finish = _stages(cfg, prec == "bf16x3")
+    init, pres, finish = _stages(cfg)
     for k in range(n_samples):
         sample_idx = jnp.uint32(sample_start + k)
         st, feats, draws = init(cam, px, py, sample_idx, offsets)
@@ -407,7 +407,7 @@ def _render_batch_sorted(
     bt, interpret, prec,
 ):
     """Staged driver with per-bounce path re-sorting (see _stages_sorted)."""
-    init, pres, finish = _stages_sorted(cfg, prec == "bf16x3")
+    init, pres, finish = _stages_sorted(cfg)
     g16 = scene.tri_feats16
     for k in range(n_samples):
         sample_idx = jnp.uint32(sample_start + k)
