@@ -41,9 +41,16 @@ def main():
     settings = RenderSettings(samples=SPP)
 
     # Warmup: compiles the program (the reference ships precompiled
-    # SPIR-V; XLA compiles on first dispatch).
+    # SPIR-V; XLA compiles on first dispatch). Warm with exactly the
+    # sample-fold the timed render will use so its shapes are compiled.
+    from rustic_tpu.runtime.pipeline import pick_sample_fold
+
     t0 = time.time()
-    warm = RenderSettings(samples=1, batch_pixels=settings.batch_pixels)
+    batch = min(int(settings.batch_pixels), WIDTH * HEIGHT)
+    warm = RenderSettings(
+        samples=pick_sample_fold(batch, SPP),
+        batch_pixels=settings.batch_pixels,
+    )
     render_image(scene, config, warm)
     warmup_s = time.time() - t0
 

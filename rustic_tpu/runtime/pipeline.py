@@ -57,6 +57,42 @@ from rustic_tpu.ops.intersect import (
 )
 
 
+_FOLD_MAX_LANES = 1 << 21  # lane budget for sample folding (~2M paths)
+
+
+def _fold_sample_idx(sample_idx, lanes: int, fold: int):
+    """Per-lane sample indices for a folded lane set: lane block k of
+    size lanes/fold traces sample sample_idx + k."""
+    if fold == 1:
+        return sample_idx
+    return sample_idx + jnp.repeat(
+        jnp.arange(fold, dtype=jnp.uint32), lanes // fold
+    )
+
+
+def pick_sample_fold(batch: int, n_samples: int) -> int:
+    """How many consecutive samples to fold into one lane set.
+
+    Folding multiplies every stage's lane count, so each of the ~11
+    dispatches per bounce-chain serves `fold` samples — the lever for
+    the per-dispatch runtime overhead that dominates once kernels are
+    fast (measured ~40% of wall time at 0.92M single-sample lanes).
+    Capped by a lane budget (HBM + compile-shape growth) and by the
+    sample count. $RUSTIC_SAMPLE_FOLD overrides.
+    """
+    env = os.environ.get("RUSTIC_SAMPLE_FOLD")
+    if env:
+        return max(1, min(int(env), max(n_samples, 1)))
+    f = max(1, _FOLD_MAX_LANES // max(batch, 1))
+    return min(f, 8, max(n_samples, 1))
+
+
+def _tile_inputs(arrs, fold: int):
+    if fold == 1:
+        return arrs
+    return tuple(jnp.tile(a, fold) for a in arrs)
+
+
 def _sort_perm(scene, st, sentinel_dead):
     """Spatial-coherence sort key: origin cell (4-bit/axis Morton) major,
     direction octant minor, retired lanes last. Blocks of consecutive
@@ -123,19 +159,26 @@ def _sentinel_feats(feats, dead):
 
 
 @functools.lru_cache(maxsize=16)
-def _stages(cfg: StaticConfig, trust_kernel: bool = False):
+def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1):
     """Compile the per-bounce XLA stages (cached per static config).
 
     Each bounce is ONE XLA program: it folds the previous bounce's
     shadow-ray result in (bounce_post) and runs the full shade
     (bounce_pre) off the winner's gathered attribute row — exactly one
     row gather on the shading path, no separate post dispatch.
+
+    `fold` > 1 concatenates that many consecutive samples' paths into
+    one lane set (px/py/offsets tiled by the caller), so every stage
+    dispatch serves `fold` samples — amortizing the per-dispatch
+    runtime overhead that dominates single-tile scenes. `finish` sums
+    the per-sample slabs back into the [B]-pixel film.
     """
 
     @jax.jit
     def init(cam, px, py, sample_idx, offsets):
-        st = trace_mod.init_state(cfg, cam, px, py, sample_idx, offsets)
-        draws = trace_mod.sample_draws(cfg, sample_idx, offsets)
+        sidx = _fold_sample_idx(sample_idx, px.shape[0], fold)
+        st = trace_mod.init_state(cfg, cam, px, py, sidx, offsets)
+        draws = trace_mod.sample_draws(cfg, sidx, offsets)
         return st, _ray_features16(st.ro, st.rd), draws
 
     def make_pre(bounce: int):
@@ -169,24 +212,32 @@ def _stages(cfg: StaticConfig, trust_kernel: bool = False):
     def finish(st, prev_nee, prev_occ, film):
         if prev_nee is not None:
             st = trace_mod.bounce_post(st, prev_nee, prev_occ)
-        return film + st.radiance
+        r = st.radiance
+        if fold > 1:
+            r = r.reshape(fold, film.shape[0], 3).sum(axis=0)
+        return film + r
 
     pres = [make_pre(b) for b in range(cfg.max_bounces)]
     return init, pres, finish
 
 
 @functools.lru_cache(maxsize=16)
-def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False):
+def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False,
+                   fold: int = 1):
     """Variant of _stages that re-sorts paths by origin locality after
     every shade, so ray blocks stay coherent and the flash kernels' tile
     culling prunes on secondary bounces too. The film sum becomes a
-    scatter-add over the carried lane->pixel map."""
+    scatter-add over the carried lane->pixel map (with `fold` > 1 the
+    map carries each lane's *pixel* index — samples collide there and
+    the scatter-add accumulates them)."""
 
     @jax.jit
     def init(cam, px, py, sample_idx, offsets):
-        st = trace_mod.init_state(cfg, cam, px, py, sample_idx, offsets)
-        draws = trace_mod.sample_draws(cfg, sample_idx, offsets)
-        lane2px = jnp.arange(px.shape[0], dtype=jnp.int32)
+        sidx = _fold_sample_idx(sample_idx, px.shape[0], fold)
+        st = trace_mod.init_state(cfg, cam, px, py, sidx, offsets)
+        draws = trace_mod.sample_draws(cfg, sidx, offsets)
+        lanes = px.shape[0]
+        lane2px = jnp.arange(lanes, dtype=jnp.int32) % (lanes // fold)
         return st, _ray_features16(st.ro, st.rd), draws, lane2px
 
     def make_pre(bounce: int):
@@ -362,10 +413,16 @@ def render_batch_staged(
             scene, cfg, cam, px, py, offsets, sample_start, n_samples,
             film, bt, interpret, prec,
         )
-    init, pres, finish = _stages(cfg)
-    for k in range(n_samples):
+    fold = pick_sample_fold(px.shape[0], n_samples)
+    tiled = _tile_inputs((px, py, offsets), fold)
+    for k in range(0, n_samples, fold):
+        g = min(fold, n_samples - k)
+        init, pres, finish = _stages(cfg, fold=g)
+        pxg, pyg, offg = (
+            tiled if g == fold else _tile_inputs((px, py, offsets), g)
+        )
         sample_idx = jnp.uint32(sample_start + k)
-        st, feats, draws = init(cam, px, py, sample_idx, offsets)
+        st, feats, draws = init(cam, pxg, pyg, sample_idx, offg)
         prev_nee = pending_shadow = None
         for bounce in range(cfg.max_bounces):
             if pending_shadow is None:
@@ -407,11 +464,17 @@ def _render_batch_sorted(
     bt, interpret, prec,
 ):
     """Staged driver with per-bounce path re-sorting (see _stages_sorted)."""
-    init, pres, finish = _stages_sorted(cfg)
     g16 = scene.tri_feats16
-    for k in range(n_samples):
+    fold = pick_sample_fold(px.shape[0], n_samples)
+    tiled = _tile_inputs((px, py, offsets), fold)
+    for k in range(0, n_samples, fold):
+        g = min(fold, n_samples - k)
+        init, pres, finish = _stages_sorted(cfg, fold=g)
+        pxg, pyg, offg = (
+            tiled if g == fold else _tile_inputs((px, py, offsets), g)
+        )
         sample_idx = jnp.uint32(sample_start + k)
-        st, feats, draws, lane2px = init(cam, px, py, sample_idx, offsets)
+        st, feats, draws, lane2px = init(cam, pxg, pyg, sample_idx, offg)
         prev_nee = pending_shadow = None
         for bounce in range(cfg.max_bounces):
             if pending_shadow is None:
