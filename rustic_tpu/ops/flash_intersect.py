@@ -216,8 +216,17 @@ class _DotPlan:
     """Which G-side operands a precision mode ships to VMEM and how the
     nearest / any-hit scans consume them (see module docstring)."""
 
-    def __init__(self, precision: str):
+    def __init__(self, precision: str, exact: bool = None):
         self.precision = precision
+        # "f32" is the oracle/debug mode: its scans keep the exact
+        # division-based epilogue + dual min/argmin so flash == brute to
+        # float rounding. The production modes ("mixed"/"bf16x3", and
+        # the f32-dot nearest scan running under "mixed") use the
+        # numerator-domain validity + packed single-reduction epilogue,
+        # whose 14-bit-mantissa t floor can resolve near-tied silhouette
+        # surfaces differently from brute (measured: one 4-spp pixel in
+        # 64^2 VeachMIS off by 5e-2; mean |d| ~1e-5, energy 1.0000).
+        self.exact = (precision == "f32") if exact is None else exact
         # inclusive validity margin for the nearest scan when its dot is
         # the ~2^-16 bf16 split (see _epilogue)
         self.near_margin = 1e-3 if precision == "bf16x3" else 0.0
@@ -259,22 +268,86 @@ def _make_pair_dot(split: bool):
     return 2, _dot_split3
 
 
+# int bits of BIG (1e6f). Its low IDX_BITS are zero, so a floored
+# packed winner unpacks to exactly BIG when a tile has no valid hit.
+_BIG_BITS = 0x49742400
+IDX_BITS = 9  # DEF_TT=512 local indices; tt > 512 would not fit
+_IDX_MASK = (1 << IDX_BITS) - 1
+
+
+def _num_split(raw, tt):
+    """[BT, 4*TT] raw -> sign-folded numerators (d, us, vs, ts).
+
+    The Möller–Trumbore window tests are evaluated in the NUMERATOR
+    domain (multiply every inequality by |det| instead of dividing all
+    four scalars by det): u >= 0 becomes us >= 0, u+v <= 1 becomes
+    us+vs <= d, t > EPS becomes ts > EPS*d. This removes the per-pair
+    reciprocal+3 muls from the epilogue — which is the kernels' real
+    floor (measured: the 6-pass dot is 5.8 ms of a 16 ms nearest scan;
+    the epilogue is the rest)."""
+    det = raw[:, 0 * tt : 1 * tt]
+    s = jnp.where(det < 0.0, -1.0, 1.0)
+    d = det * s
+    us = raw[:, 1 * tt : 2 * tt] * s
+    vs = raw[:, 2 * tt : 3 * tt] * s
+    ts = raw[:, 3 * tt : 4 * tt] * s
+    return d, us, vs, ts
+
+
 def _tile_minarg(plan, f_tile, g_blocks, tt):
-    """Nearest valid candidate of one tile: (t_min, argmin)."""
-    _, _, t, valid = _epilogue(
-        plan.dot_near(f_tile, g_blocks), tt,
-        margin=plan.near_margin, det_eps=plan.near_det_eps,
+    """Nearest valid candidate of one tile: (t_min, argmin).
+
+    min+argmin ride ONE packed int reduction: t's sign bit is 0 for
+    every valid candidate (t > EPS), so its f32 bits order like floats;
+    the low IDX_BITS are replaced by the local triangle index. The
+    winner's t is floored to a 14-bit mantissa — consumers re-derive
+    the exact t from the winner triangle (classify_flash_hit), and the
+    in-kernel uses (cross-tile compare, cull limit) only see the same
+    consistently-floored values."""
+    if plan.exact:
+        _, _, t, valid = _epilogue(
+            plan.dot_near(f_tile, g_blocks), tt,
+            margin=plan.near_margin, det_eps=plan.near_det_eps,
+        )
+        tm = jnp.where(valid, t, BIG)
+        return jnp.min(tm, axis=1), jnp.argmin(tm, axis=1).astype(jnp.int32)
+    d, us, vs, ts = _num_split(plan.dot_near(f_tile, g_blocks), tt)
+    m = plan.near_margin
+    good = d >= plan.near_det_eps
+    # margin == 0 (the f32 scan) must not pay the two margin muls
+    lo = 0.0 if m == 0.0 else -m * d
+    hi = d if m == 0.0 else (1.0 + m) * d
+    valid = (
+        good & (us >= lo) & (us <= hi) & (vs >= lo) & (us + vs <= hi)
+        & (ts > EPS * d)
     )
-    tm = jnp.where(valid, t, BIG)
-    return jnp.min(tm, axis=1), jnp.argmin(tm, axis=1).astype(jnp.int32)
+    t = ts * pl.reciprocal(jnp.where(good, d, 1.0))
+    bits = jax.lax.bitcast_convert_type(t, jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+    packed = jnp.where(valid, (bits & ~_IDX_MASK) | iota, _BIG_BITS)
+    win = jnp.min(packed, axis=1)
+    tmin = jax.lax.bitcast_convert_type(win & ~_IDX_MASK, jnp.float32)
+    return tmin, win & _IDX_MASK
 
 
 def _tile_anyhit(plan, f_tile, g_blocks, tt):
-    """Any valid hit within (EPS, max_t] (max_t from SH_MAXT_COL) -> [BT] i32."""
-    _, _, t, valid = _epilogue(
-        plan.dot_any(f_tile, g_blocks), tt, det_eps=plan.any_det_eps
+    """Any valid hit within (EPS, max_t] (max_t from SH_MAXT_COL) -> [BT] i32.
+
+    Pure numerator-domain: t <= max_t becomes ts <= max_t*d — the
+    any-hit scan does no division at all."""
+    if plan.exact:
+        _, _, t, valid = _epilogue(
+            plan.dot_any(f_tile, g_blocks), tt, det_eps=plan.any_det_eps
+        )
+        hit = valid & (t <= f_tile[:, SH_MAXT_COL][:, None])
+        return jnp.any(hit, axis=1).astype(jnp.int32)
+    d, us, vs, ts = _num_split(plan.dot_any(f_tile, g_blocks), tt)
+    good = d >= plan.any_det_eps
+    maxt = f_tile[:, SH_MAXT_COL][:, None]
+    hit = (
+        good & (us >= 0.0) & (vs >= 0.0) & (us + vs <= d)
+        & (ts > EPS * d) & (ts <= maxt * d)
     )
-    hit = valid & (t <= f_tile[:, SH_MAXT_COL][:, None])
     return jnp.any(hit, axis=1).astype(jnp.int32)
 
 
@@ -477,13 +550,16 @@ def pick_bt(tri_feats16) -> int:
 
 def _plan_for(precision: str, role: str) -> _DotPlan:
     """Collapse `mixed` for single-role kernels so they ship only the
-    G-side operands they actually consume."""
+    G-side operands they actually consume. Only the user-level "f32"
+    (oracle) mode gets exact reductions — a mixed-mode nearest scan
+    collapses to the f32 dot but keeps the fast packed epilogue."""
+    exact = precision == "f32"
     if precision == "mixed":
         if role == "near":
             precision = "f32"
         elif role == "any":
             precision = "bf16x3"
-    return _DotPlan(precision)
+    return _DotPlan(precision, exact=exact)
 
 
 def _g_specs(n, tt):

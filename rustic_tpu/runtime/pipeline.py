@@ -93,6 +93,24 @@ def _tile_inputs(arrs, fold: int):
     return tuple(jnp.tile(a, fold) for a in arrs)
 
 
+def _shadow_feats16(nee_pack):
+    """Shadow rays as packed feature rows, max_t in SH_MAXT_COL."""
+    feats = _ray_features16(nee_pack.shadow_ro, nee_pack.shadow_rd)
+    return feats.at[:, 10].set(nee_pack.shadow_maxt)
+
+
+def _fold_slim_nee(radiance, prev_nee, prev_occ):
+    """Fold the last bounce's slim NEE carry (eligible, contribution)
+    into the radiance (the tail of trace.bounce_post)."""
+    if prev_nee is None:
+        return radiance
+    from rustic_tpu.ops import sampling as s
+
+    eligible, contribution = prev_nee
+    lit = eligible & ~prev_occ
+    return radiance + jnp.where(lit[..., None], s.mask_nan(contribution), 0.0)
+
+
 def _sort_perm(scene, st, sentinel_dead):
     """Spatial-coherence sort key: origin cell (4-bit/axis Morton) major,
     direction octant minor, retired lanes last. Blocks of consecutive
@@ -181,7 +199,7 @@ def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1):
         draws = trace_mod.sample_draws(cfg, sidx, offsets)
         return st, _ray_features16(st.ro, st.rd), draws
 
-    def make_pre(bounce: int):
+    def make_pre(bounce: int, last: bool):
         @jax.jit
         def pre(scene, cam, st, prev_nee, prev_occ, t, idx, draws):
             if prev_nee is not None:
@@ -195,6 +213,17 @@ def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1):
                 draws[:, bounce * 8 : bounce * 8 + 8],
                 attrs=attrs,
             )
+            if last:
+                # The final bounce's continuation is never traced: return
+                # only what finish consumes (radiance + slim NEE carry +
+                # shadow features), so XLA dead-code-eliminates the BSDF
+                # continuation sample, ray update, roulette, and next-ray
+                # features instead of materializing them as outputs.
+                if nee_pack is None:
+                    return st2.radiance, None, None
+                shadow_feats = _shadow_feats16(nee_pack)
+                slim = (nee_pack.eligible, nee_pack.contribution)
+                return st2.radiance, None, (slim, shadow_feats)
             next_feats = _ray_features16(st2.ro, st2.rd)
             if nee_pack is None:
                 return st2, next_feats, None
@@ -202,22 +231,20 @@ def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1):
             # occlusion scan can be folded into the NEXT bounce's nearest
             # kernel (flash_nearest_shadow) — one triangle-tile pass
             # serves both ray sets.
-            shadow_feats = _ray_features16(nee_pack.shadow_ro, nee_pack.shadow_rd)
-            shadow_feats = shadow_feats.at[:, 10].set(nee_pack.shadow_maxt)
-            return st2, next_feats, (nee_pack, shadow_feats)
+            return st2, next_feats, (nee_pack, _shadow_feats16(nee_pack))
 
         return pre
 
     @jax.jit
-    def finish(st, prev_nee, prev_occ, film):
-        if prev_nee is not None:
-            st = trace_mod.bounce_post(st, prev_nee, prev_occ)
-        r = st.radiance
+    def finish(radiance, prev_nee, prev_occ, film):
+        radiance = _fold_slim_nee(radiance, prev_nee, prev_occ)
         if fold > 1:
-            r = r.reshape(fold, film.shape[0], 3).sum(axis=0)
-        return film + r
+            radiance = radiance.reshape(fold, film.shape[0], 3).sum(axis=0)
+        return film + radiance
 
-    pres = [make_pre(b) for b in range(cfg.max_bounces)]
+    pres = [
+        make_pre(b, b == cfg.max_bounces - 1) for b in range(cfg.max_bounces)
+    ]
     return init, pres, finish
 
 
@@ -240,7 +267,7 @@ def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False,
         lane2px = jnp.arange(lanes, dtype=jnp.int32) % (lanes // fold)
         return st, _ray_features16(st.ro, st.rd), draws, lane2px
 
-    def make_pre(bounce: int):
+    def make_pre(bounce: int, last: bool):
         @jax.jit
         def pre(scene, cam, st, prev_nee, prev_occ, t, idx, draws, lane2px):
             if prev_nee is not None:
@@ -254,26 +281,31 @@ def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False,
                 draws[:, bounce * 8 : bounce * 8 + 8],
                 attrs=attrs,
             )
+            if last:
+                # See _stages.make_pre: only finish's inputs are
+                # returned so the untraced continuation is DCE'd.
+                if nee_pack is None:
+                    return st2.radiance, None, None, None, lane2px
+                shadow_feats = _sentinel_feats(
+                    _shadow_feats16(nee_pack), ~nee_pack.eligible
+                )
+                slim = (nee_pack.eligible, nee_pack.contribution)
+                return st2.radiance, None, (slim, shadow_feats), None, lane2px
             next_feats = _sentinel_feats(
                 _ray_features16(st2.ro, st2.rd), ~st2.alive
             )
             shadow_feats = None
             if nee_pack is not None:
-                shadow_feats = _ray_features16(
-                    nee_pack.shadow_ro, nee_pack.shadow_rd
-                )
-                shadow_feats = shadow_feats.at[:, 10].set(nee_pack.shadow_maxt)
                 shadow_feats = _sentinel_feats(
-                    shadow_feats, ~nee_pack.eligible
+                    _shadow_feats16(nee_pack), ~nee_pack.eligible
                 )
-            if bounce < cfg.max_bounces - 1:
-                perm = _sort_perm(scene, st2, ~st2.alive)
-                st2, nee_pack, next_feats, shadow_feats, draws, lane2px = (
-                    _permute_lanes(
-                        perm,
-                        (st2, nee_pack, next_feats, shadow_feats, draws, lane2px),
-                    )
+            perm = _sort_perm(scene, st2, ~st2.alive)
+            st2, nee_pack, next_feats, shadow_feats, draws, lane2px = (
+                _permute_lanes(
+                    perm,
+                    (st2, nee_pack, next_feats, shadow_feats, draws, lane2px),
                 )
+            )
             if nee_pack is None:
                 return st2, next_feats, None, draws, lane2px
             return st2, next_feats, (nee_pack, shadow_feats), draws, lane2px
@@ -281,12 +313,13 @@ def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False,
         return pre
 
     @jax.jit
-    def finish(st, prev_nee, prev_occ, film, lane2px):
-        if prev_nee is not None:
-            st = trace_mod.bounce_post(st, prev_nee, prev_occ)
-        return film.at[lane2px].add(st.radiance)
+    def finish(radiance, prev_nee, prev_occ, film, lane2px):
+        radiance = _fold_slim_nee(radiance, prev_nee, prev_occ)
+        return film.at[lane2px].add(radiance)
 
-    pres = [make_pre(b) for b in range(cfg.max_bounces)]
+    pres = [
+        make_pre(b, b == cfg.max_bounces - 1) for b in range(cfg.max_bounces)
+    ]
     return init, pres, finish
 
 
