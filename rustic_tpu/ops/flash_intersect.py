@@ -7,24 +7,24 @@ through VMEM, the four pair-scalar blocks (det, u·det, v·det, t·det)
 come off the MXU as one [BT, 4·TT] tile, the epilogue and a *running
 min-reduction over triangle tiles* happen on-chip, and only the per-ray
 (t, winner-index) pair is written to HBM — flash-attention's trick
-applied to ray casting. The winner's packed shading row is fetched by
-ONE XLA row gather in the consumer (measured cheaper than an in-kernel
-one-hot MXU select at every batch size tried, and exact: the one-hot
-path bf16-rounds whatever a DEFAULT-precision select touches).
+applied to ray casting. On single-tile scenes the kernels additionally
+emit the winner's packed shading row (flash_nearest_attrs): a one-hot
+select over the bit-exact bf16 hi/mid/lo attr split runs at full MXU
+utilization in VMEM (~1.4 ms added) and replaces the consumer's ~5 ms
+latency-bound row gather, bit-for-bit. Multi-tile scenes keep the
+gather (the winner isn't final until all tiles have run).
 
 Dot precision (static `precision` arg on every entry point):
-  "f32"    — Precision.HIGHEST pair dot everywhere. Bit-conservative;
-             the interpret (CPU test) default so flash == brute exactly.
+  "f32"    — Precision.HIGHEST pair dot everywhere, exact
+             division-based epilogue + dual min/argmin reductions: the
+             bit-faithful oracle mode (flash == brute to float
+             rounding); also the interpret (CPU test) default.
   "bf16x3" — compensated 3-pass bf16 split: each f32 operand is split
              into bf16 hi + bf16 lo residual and the dot is
              hi@hi + (hi@lo + lo@hi), f32-accumulated. A 2-way bf16
              split carries ~16 mantissa bits, so error is ~2^-16 of the
              summed terms vs HIGHEST's ~2^-24 (HIGHEST *is* the 3-way
-             split). ~27% faster end-to-end, but measured to bias the
-             furnace test -1.7% energy: near triangle edges the kernel
-             declares a winner that the consumer's exact f32 re-test
-             (ops/intersect.py:refine_from_attrs) rejects, and the ray
-             is lost. Opt-in only.
+             split). Fast but can misrank winners near edges; opt-in.
   "mixed"  — nearest scans stay "f32"; shadow/occlusion any-hit scans
              use the bf16x3 dot. Viable because of the det-scale
              normalization in pack_tri_feats16: every triangle's four
@@ -373,6 +373,58 @@ def _tile_possible(f, aabb_row, limit):
 # ---------------------------------------------------------------------------
 
 
+def _winner_attrs(tile_arg, parts, tt):
+    """The winner's packed shading row via three one-hot bf16 matmuls
+    over the bit-exact hi/mid/lo attr split (scene/world.py:
+    _split_rows_bf16x3). Each pass selects one exactly-representable
+    part (a single nonzero product), and the f32 sum of the parts IS
+    the original f32 value — so this equals the row gather bit-for-bit
+    while costing ~0.5 ms of full-utilization MXU time at B=0.92M
+    (vs ~5 ms for the XLA gather the consumer would otherwise do). The
+    one-hot lives only in VMEM/VREGs — an XLA-level version loses the
+    win to HBM round-trips of the [B, T] one-hot."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tile_arg.shape[0], tt), 1)
+    oh = (iota == tile_arg[:, None]).astype(jnp.bfloat16)
+    return (
+        _dot_default(oh, parts[0]) + _dot_default(oh, parts[1])
+    ) + _dot_default(oh, parts[2])
+
+
+def _nearest_single_attrs(plan):
+    ng = plan.ng
+
+    def kernel(*refs):
+        f_ref = refs[0]
+        g_blocks = tuple(r[...] for r in refs[1 : 1 + ng])
+        parts = tuple(r[...] for r in refs[1 + ng : 4 + ng])
+        t_ref, idx_ref, attr_ref = refs[4 + ng :]
+        tt = g_blocks[0].shape[-1] // 4
+        tile_min, tile_arg = _tile_minarg(plan, f_ref[...], g_blocks, tt)
+        t_ref[0, :] = tile_min
+        idx_ref[0, :] = tile_arg
+        attr_ref[...] = _winner_attrs(tile_arg, parts, tt)
+
+    return kernel
+
+
+def _nearest_shadow_single_attrs(plan):
+    ng = plan.ng
+
+    def kernel(*refs):
+        f_ref, sh_ref = refs[0], refs[1]
+        g_blocks = tuple(r[...] for r in refs[2 : 2 + ng])
+        parts = tuple(r[...] for r in refs[2 + ng : 5 + ng])
+        t_ref, idx_ref, occ_ref, attr_ref = refs[5 + ng :]
+        tt = g_blocks[0].shape[-1] // 4
+        tile_min, tile_arg = _tile_minarg(plan, f_ref[...], g_blocks, tt)
+        t_ref[0, :] = tile_min
+        idx_ref[0, :] = tile_arg
+        occ_ref[0, :] = _tile_anyhit(plan, sh_ref[...], g_blocks, tt)
+        attr_ref[...] = _winner_attrs(tile_arg, parts, tt)
+
+    return kernel
+
+
 def _nearest_single(plan):
     ng = plan.ng
 
@@ -633,6 +685,117 @@ def _flash_nearest(
         interpret=interpret,
     )(*operands)
     return t_out.reshape(-1)[:b], idx_out.reshape(-1)[:b]
+
+
+def flash_nearest_attrs(feats, tri_feats16, tile_aabbs, attr_split,
+                        bt=DEF_BT, interpret=False, precision="auto"):
+    """Single-tile nearest hit that also emits the winner's packed attr
+    row from inside the kernel (see _winner_attrs) ->
+    (t [B], idx [B] i32, attrs [B, W])."""
+    precision = resolve_precision(precision, interpret)
+    return _flash_nearest_attrs(
+        feats, tri_feats16, tile_aabbs, attr_split, bt=bt,
+        interpret=interpret, precision=precision,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("bt", "interpret", "precision"))
+def _flash_nearest_attrs(
+    feats, tri_feats16, tile_aabbs, attr_split, bt, interpret, precision
+):
+    plan = _plan_for(precision, "near")
+    feats, b, nb = _pad_rays(feats, bt)
+    t_pad, tt, nt = _geometry(tri_feats16)
+    assert nt == 1, "in-kernel attr emission is single-tile only"
+    g_ops = plan.g_operands(tri_feats16)
+    kernel = _nearest_single_attrs(plan)
+    w = attr_split.shape[-1]
+    in_specs = (
+        [_RAY_SPEC(bt)]
+        + _g_specs(plan.ng, tt)
+        + [
+            pl.BlockSpec((tt, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+            for _ in range(3)
+        ]
+    )
+    t_out, idx_out, attr_out = pl.pallas_call(
+        kernel,
+        grid=(nb, 1),
+        in_specs=in_specs,
+        out_specs=[
+            _ROW_SPEC(bt),
+            _ROW_SPEC(bt),
+            pl.BlockSpec((bt, w), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, nb * bt), jnp.float32),
+            jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),
+            jax.ShapeDtypeStruct((nb * bt, w), jnp.float32),
+        ],
+        compiler_params=_params(interpret),
+        interpret=interpret,
+    )(feats, *g_ops, attr_split[0], attr_split[1], attr_split[2])
+    return t_out.reshape(-1)[:b], idx_out.reshape(-1)[:b], attr_out[:b]
+
+
+def flash_nearest_shadow_attrs(feats, shadow_feats, tri_feats16, tile_aabbs,
+                               attr_split, bt=DEF_BT, interpret=False,
+                               precision="auto"):
+    """flash_nearest_shadow + in-kernel winner attr row (single-tile)
+    -> (t, idx, occluded [B] bool, attrs [B, W])."""
+    precision = resolve_precision(precision, interpret)
+    return _flash_nearest_shadow_attrs(
+        feats, shadow_feats, tri_feats16, tile_aabbs, attr_split, bt=bt,
+        interpret=interpret, precision=precision,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("bt", "interpret", "precision"))
+def _flash_nearest_shadow_attrs(
+    feats, shadow_feats, tri_feats16, tile_aabbs, attr_split, bt,
+    interpret, precision,
+):
+    plan = _DotPlan(precision)
+    feats, b, nb = _pad_rays(feats, bt)
+    shadow_feats = jnp.pad(shadow_feats, ((0, feats.shape[0] - b), (0, 0)))
+    t_pad, tt, nt = _geometry(tri_feats16)
+    assert nt == 1, "in-kernel attr emission is single-tile only"
+    g_ops = plan.g_operands(tri_feats16)
+    kernel = _nearest_shadow_single_attrs(plan)
+    w = attr_split.shape[-1]
+    in_specs = (
+        [_RAY_SPEC(bt), _RAY_SPEC(bt)]
+        + _g_specs(plan.ng, tt)
+        + [
+            pl.BlockSpec((tt, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+            for _ in range(3)
+        ]
+    )
+    t_out, idx_out, occ_out, attr_out = pl.pallas_call(
+        kernel,
+        grid=(nb, 1),
+        in_specs=in_specs,
+        out_specs=[
+            _ROW_SPEC(bt),
+            _ROW_SPEC(bt),
+            _ROW_SPEC(bt),
+            pl.BlockSpec((bt, w), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, nb * bt), jnp.float32),
+            jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),
+            jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),
+            jax.ShapeDtypeStruct((nb * bt, w), jnp.float32),
+        ],
+        compiler_params=_params(interpret),
+        interpret=interpret,
+    )(feats, shadow_feats, *g_ops, attr_split[0], attr_split[1], attr_split[2])
+    return (
+        t_out.reshape(-1)[:b],
+        idx_out.reshape(-1)[:b],
+        occ_out.reshape(-1)[:b] != 0,
+        attr_out[:b],
+    )
 
 
 def flash_nearest_shadow(feats, shadow_feats, tri_feats16, tile_aabbs,

@@ -347,8 +347,14 @@ def refine_from_attrs(attrs, ro, rd):
 
 
 def gather_attr_rows(scene, idx):
-    """The winning triangles' packed shading rows — ONE XLA row gather
-    (measured faster than an in-kernel one-hot MXU select, and exact)."""
+    """The winning triangles' packed shading rows — ONE XLA row gather.
+
+    An XLA-level one-hot matmul over the bit-exact bf16 split was
+    measured NOT faster (6.0 vs 5.0 ms at B=0.92M): the [B, T_pad]
+    one-hot operand round-trips HBM once per pass. The split table
+    (scene.tri_attrs_split) pays off only where the one-hot never
+    leaves VMEM — inside the single-tile flash kernels, which emit the
+    winner's row directly (ops/flash_intersect.py)."""
     return scene.tri_attrs[jnp.clip(idx, 0, scene.tri_attrs.shape[0] - 1)]
 
 
@@ -388,9 +394,26 @@ def intersect_flash_attrs(scene, ro, rd, interpret: bool = False):
     packed shading row comes from one row gather, so shading needs no
     further gathers; u/v/backface come from one exact re-test of the
     winner."""
-    from rustic_tpu.ops.flash_intersect import flash_nearest, resolve_precision
+    from rustic_tpu.ops.flash_intersect import (
+        flash_nearest,
+        flash_nearest_attrs,
+        resolve_precision,
+    )
 
     prec = resolve_precision("auto", interpret)
+    if scene.tri_attrs_split is not None:
+        t, idx, attrs = flash_nearest_attrs(
+            _ray_features16(ro, rd),
+            scene.tri_feats16,
+            scene.tile_aabbs,
+            scene.tri_attrs_split,
+            interpret=interpret,
+            precision=prec,
+        )
+        return (
+            classify_flash_hit(t, idx, attrs, ro, rd, trust_kernel=False),
+            attrs,
+        )
     t, idx = flash_nearest(
         _ray_features16(ro, rd),
         scene.tri_feats16,

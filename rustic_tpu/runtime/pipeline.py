@@ -37,7 +37,9 @@ from rustic_tpu.ops import trace as trace_mod
 from rustic_tpu.ops.flash_intersect import (
     DEF_BT,
     flash_nearest,
+    flash_nearest_attrs,
     flash_nearest_shadow,
+    flash_nearest_shadow_attrs,
     flash_occlude_packed,
     pick_bt,
 )
@@ -201,10 +203,11 @@ def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1):
 
     def make_pre(bounce: int, last: bool):
         @jax.jit
-        def pre(scene, cam, st, prev_nee, prev_occ, t, idx, draws):
+        def pre(scene, cam, st, prev_nee, prev_occ, t, idx, attrs, draws):
             if prev_nee is not None:
                 st = trace_mod.bounce_post(st, prev_nee, prev_occ)
-            attrs = gather_attr_rows(scene, idx)
+            if attrs is None:
+                attrs = gather_attr_rows(scene, idx)
             res = classify_flash_hit(
                 t, idx, attrs, st.ro, st.rd, trust_kernel=trust_kernel
             )
@@ -448,6 +451,9 @@ def render_batch_staged(
         )
     fold = pick_sample_fold(px.shape[0], n_samples)
     tiled = _tile_inputs((px, py, offsets), fold)
+    # Single-tile scenes with a bit-exact attr split get the winner's
+    # shading row straight from the kernel (no consumer gather).
+    kattrs = scene.tri_attrs_split
     for k in range(0, n_samples, fold):
         g = min(fold, n_samples - k)
         init, pres, finish = _stages(cfg, fold=g)
@@ -458,23 +464,36 @@ def render_batch_staged(
         st, feats, draws = init(cam, pxg, pyg, sample_idx, offg)
         prev_nee = pending_shadow = None
         for bounce in range(cfg.max_bounces):
+            attrs = None
             if pending_shadow is None:
-                t, idx = flash_nearest(
-                    feats, g16, scene.tile_aabbs, bt=bt, interpret=interpret,
-                    precision=prec,
-                )
+                if kattrs is not None:
+                    t, idx, attrs = flash_nearest_attrs(
+                        feats, g16, scene.tile_aabbs, kattrs, bt=bt,
+                        interpret=interpret, precision=prec,
+                    )
+                else:
+                    t, idx = flash_nearest(
+                        feats, g16, scene.tile_aabbs, bt=bt,
+                        interpret=interpret, precision=prec,
+                    )
                 prev_occ = None
             else:
                 # The previous bounce's shadow scan piggybacks on this
                 # bounce's nearest scan: both ray sets stream the same
                 # triangle tiles, so merging halves the kernel dispatches
                 # and the per-tile VMEM loads.
-                t, idx, prev_occ = flash_nearest_shadow(
-                    feats, pending_shadow, g16, scene.tile_aabbs,
-                    bt=bt, interpret=interpret, precision=prec,
-                )
+                if kattrs is not None:
+                    t, idx, prev_occ, attrs = flash_nearest_shadow_attrs(
+                        feats, pending_shadow, g16, scene.tile_aabbs,
+                        kattrs, bt=bt, interpret=interpret, precision=prec,
+                    )
+                else:
+                    t, idx, prev_occ = flash_nearest_shadow(
+                        feats, pending_shadow, g16, scene.tile_aabbs,
+                        bt=bt, interpret=interpret, precision=prec,
+                    )
             st, feats, nee = pres[bounce](
-                scene, cam, st, prev_nee, prev_occ, t, idx, draws,
+                scene, cam, st, prev_nee, prev_occ, t, idx, attrs, draws,
             )
             prev_nee = pending_shadow = None
             if nee is not None:

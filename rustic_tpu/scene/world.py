@@ -78,6 +78,13 @@ class SceneArrays(struct.PyTreeNode):
     # needs about a hit triangle in one row, fetched gather-free by the
     # flash kernel's hit-mask matmul (see ATTR_* layout constants below).
     tri_attrs: jnp.ndarray  # [T_pad, 64] f32
+    # Bit-exact 3-part bf16 decomposition of tri_attrs (hi/mid/lo RNE
+    # residuals of <=8 mantissa bits each, so hi+mid+lo == value in f32
+    # exactly). Lets the shading row be fetched as THREE one-hot bf16
+    # matmuls at full MXU utilization (~2 ms) instead of XLA's
+    # per-row-latency-bound gather (~5 ms/M rows). Built only for small
+    # scenes (one-hot width = T_pad); None otherwise.
+    tri_attrs_split: Optional[jnp.ndarray]  # [3, T_pad, 64] bf16 or None
     # Combined NEE entry rows (ENTRY_* constants): one row per alias
     # entry resolves the light pick AND the picked light's geometry.
     entry_rows: jnp.ndarray  # [L_pad, 48] f32
@@ -181,6 +188,44 @@ def _tile_aabbs(
             out[j, 0:3] = tile.min(axis=0)
             out[j, 4:7] = tile.max(axis=0)
     return out
+
+
+# The in-kernel one-hot attr fetch is wired only into the single-tile
+# flash kernels (the winner must be final when the row is selected),
+# so the split table is built only for single-tile scenes.
+ONEHOT_ATTRS_MAX_TPAD = 512
+
+
+def _split_rows_bf16x3(rows: np.ndarray) -> Optional[np.ndarray]:
+    """Bit-exact [3, T, W] bf16 decomposition of an f32 table, or None
+    when exactness cannot be guaranteed (denormal parts).
+
+    hi = rne_bf16(a), mid = rne_bf16(a - hi), lo = rne_bf16(rest): each
+    residual carries <= 8 fresh mantissa bits, so a == (hi + mid) + lo
+    in exact f32 arithmetic — verified element-wise below. A one-hot
+    row-select matmul of each part is exact (single nonzero product),
+    so three DEFAULT-precision MXU passes reconstruct the row
+    bit-for-bit."""
+    import ml_dtypes
+
+    bf = ml_dtypes.bfloat16
+    a = rows.astype(np.float32)
+    hi = a.astype(bf)
+    r1 = a - hi.astype(np.float32)
+    mid = r1.astype(bf)
+    lo = (r1 - mid.astype(np.float32)).astype(bf)
+    rebuilt = (hi.astype(np.float32) + mid.astype(np.float32)) + lo.astype(
+        np.float32
+    )
+    if not np.array_equal(rebuilt, a):
+        return None
+    # TPU flushes denormals the host reconstruction check can't see
+    tiny = 2.0 ** -126
+    for part in (hi, mid, lo):
+        p = np.abs(part.astype(np.float32))
+        if np.any((p > 0.0) & (p < tiny)):
+            return None
+    return np.stack([np.asarray(hi), np.asarray(mid), np.asarray(lo)])
 
 
 def _fallback_skybox() -> np.ndarray:
@@ -305,7 +350,9 @@ class World:
         """Build the gather-free shading tables (see ATTR_*/LIGHT_*/ALIAS_*)."""
         tris = self.triangles
         t_count = len(tris)
-        t_pad = self.tri_feats16.shape[-1]
+        # tri_feats16's last dim is NT*4*TT (four numerator blocks per
+        # tile); the attr table needs one row per padded TRIANGLE.
+        t_pad = self.tri_feats16.shape[-1] // 4
         vi = tris[:, :3]
         mi = tris[:, 3]
 
@@ -372,6 +419,15 @@ class World:
             tri_feats=jnp.asarray(self.tri_feats),
             tri_feats16=jnp.asarray(self.tri_feats16),
             tri_attrs=jnp.asarray(self.tri_attrs),
+            tri_attrs_split=(
+                jnp.asarray(split)
+                if (
+                    self.tri_attrs.shape[0] <= ONEHOT_ATTRS_MAX_TPAD
+                    and (split := _split_rows_bf16x3(self.tri_attrs))
+                    is not None
+                )
+                else None
+            ),
             bvh_min=jnp.asarray(self.bvh.aabb_min),
             bvh_max=jnp.asarray(self.bvh.aabb_max),
             bvh_left_first=jnp.asarray(self.bvh.left_first),

@@ -84,3 +84,24 @@ def test_render_is_deterministic(cornell_scene):
     a = render_image(cornell_scene, cfg, RenderSettings(samples=3))
     b = render_image(cornell_scene, cfg, RenderSettings(samples=3))
     np.testing.assert_array_equal(a, b)
+
+
+def test_attr_split_is_bit_exact(cornell_world):
+    """The hi/mid/lo bf16 decomposition must reconstruct tri_attrs
+    bit-for-bit ((hi+mid)+lo in f32), and the one-hot fetch in
+    gather_attr_rows must therefore equal the row gather exactly."""
+    import jax.numpy as jnp
+
+    scene = cornell_world.to_device()
+    assert scene.tri_attrs_split is not None
+    s = np.asarray(scene.tri_attrs_split.astype(jnp.float32))
+    rebuilt = (s[0] + s[1]) + s[2]
+    np.testing.assert_array_equal(rebuilt, np.asarray(scene.tri_attrs))
+
+    from rustic_tpu.ops.intersect import gather_attr_rows
+
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, scene.tri_attrs.shape[0], 257), jnp.int32)
+    onehot = np.asarray(gather_attr_rows(scene, idx))
+    direct = np.asarray(scene.tri_attrs)[np.asarray(idx)]
+    np.testing.assert_array_equal(onehot, direct)
