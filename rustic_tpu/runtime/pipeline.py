@@ -202,7 +202,10 @@ def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1):
         return st, _ray_features16(st.ro, st.rd), draws
 
     def make_pre(bounce: int, last: bool):
-        @jax.jit
+        # Donate the per-bounce state and the kernel outputs: every one
+        # is consumed exactly once here, so XLA can update in place
+        # instead of allocating fresh 0.1-1 GB buffers per stage.
+        @functools.partial(jax.jit, donate_argnums=(2, 3, 4, 5, 6, 7))
         def pre(scene, cam, st, prev_nee, prev_occ, t, idx, attrs, draws):
             if prev_nee is not None:
                 st = trace_mod.bounce_post(st, prev_nee, prev_occ)
