@@ -59,7 +59,27 @@ from rustic_tpu.ops.intersect import (
 )
 
 
-_FOLD_MAX_LANES = 1 << 21  # lane budget for sample folding (~2M paths)
+# Lane budgets for sample folding. The sorted (multi-tile) path packs
+# every per-lane carry into wide [B, ~130-200] permute intermediates,
+# so its HBM footprint per lane is several times the unsorted path's —
+# observed RESOURCE_EXHAUSTED at 1.18M sorted lanes (fold 8 x 147k px).
+_FOLD_MAX_LANES = 1 << 21  # unsorted (~2M paths)
+_FOLD_MAX_LANES_SORTED = 1 << 19
+
+
+# Queue at most this many fold-groups before hard-syncing on the film:
+# the tunnel runtime otherwise accumulates every queued group's
+# intermediates in HBM (observed: RESOURCE_EXHAUSTED at 256 spp x 1.18M
+# lanes on the sorted path). A sync every few groups bounds live memory
+# while keeping enough dispatch depth to hide host latency.
+_THROTTLE_GROUPS = int(os.environ.get("RUSTIC_QUEUE_GROUPS", "4"))
+
+
+def _throttle(film, group_index: int):
+    if _THROTTLE_GROUPS > 0 and (group_index + 1) % _THROTTLE_GROUPS == 0:
+        # np.asarray on a tiny slice forces execution of the whole queued
+        # chain (jax.block_until_ready can return early on axon)
+        np.asarray(film[:1])
 
 
 def _fold_sample_idx(sample_idx, lanes: int, fold: int):
@@ -72,7 +92,8 @@ def _fold_sample_idx(sample_idx, lanes: int, fold: int):
     )
 
 
-def pick_sample_fold(batch: int, n_samples: int) -> int:
+def pick_sample_fold(batch: int, n_samples: int,
+                     sorted_path: bool = False) -> int:
     """How many consecutive samples to fold into one lane set.
 
     Folding multiplies every stage's lane count, so each of the ~11
@@ -85,7 +106,8 @@ def pick_sample_fold(batch: int, n_samples: int) -> int:
     env = os.environ.get("RUSTIC_SAMPLE_FOLD")
     if env:
         return max(1, min(int(env), max(n_samples, 1)))
-    f = max(1, _FOLD_MAX_LANES // max(batch, 1))
+    budget = _FOLD_MAX_LANES_SORTED if sorted_path else _FOLD_MAX_LANES
+    f = max(1, budget // max(batch, 1))
     return min(f, 8, max(n_samples, 1))
 
 
@@ -511,6 +533,7 @@ def render_batch_staged(
                 != 0
             )
         film = finish(st, prev_nee, final_occ, film)
+        _throttle(film, k // fold)
     return film
 
 
@@ -520,7 +543,7 @@ def _render_batch_sorted(
 ):
     """Staged driver with per-bounce path re-sorting (see _stages_sorted)."""
     g16 = scene.tri_feats16
-    fold = pick_sample_fold(px.shape[0], n_samples)
+    fold = pick_sample_fold(px.shape[0], n_samples, sorted_path=True)
     tiled = _tile_inputs((px, py, offsets), fold)
     for k in range(0, n_samples, fold):
         g = min(fold, n_samples - k)
@@ -560,4 +583,5 @@ def _render_batch_sorted(
                 != 0
             )
         film = finish(st, prev_nee, final_occ, film, lane2px)
+        _throttle(film, k // fold)
     return film

@@ -94,3 +94,33 @@ def test_light_transmits_through_glass():
 def test_glass_energy_bounded():
     glass = _center_radiance(_pane_scene(1.0))
     assert glass < 5.01  # cannot exceed the emitter radiance
+
+
+def test_glass_test_scene_loads_and_renders():
+    """The generated GlassTest.glb (tools/make_scenes.py — coverage for
+    the reference's stripped GlassTest scene / BASELINE config #3) must
+    load with glass + lights and render identically through the brute
+    oracle and the flash engines."""
+    import os
+
+    from rustic_tpu.config import NextEventEstimation
+    from rustic_tpu.runtime.render import render_image
+    from rustic_tpu.scene.world import load_scene
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets", "scenes", "GlassTest.glb",
+    )
+    scene = load_scene(path)
+    assert scene.has_glass and scene.has_lights and not scene.has_textures
+
+    cfg = TracingConfig(
+        width=64, height=36, nee=NextEventEstimation.MIS,
+        cam_position=(0.0, 2.2, -6.5), cam_rotation=(0.15, 0.0),
+    )
+    st = RenderSettings(samples=4)
+    brute = np.asarray(render_image(scene, cfg, st, engine="brute"))
+    flash = np.asarray(render_image(scene, cfg, st, engine="flash"))
+    assert np.isfinite(brute).all()
+    assert brute.mean() > 0.1  # lit scene, not black
+    np.testing.assert_allclose(flash, brute, rtol=1e-4, atol=1e-5)
