@@ -55,6 +55,7 @@ class TraceState(NamedTuple):
     throughput: jnp.ndarray  # [B, 3]
     radiance: jnp.ndarray  # [B, 3]
     alive: jnp.ndarray  # [B] bool
+    missed: jnp.ndarray  # [B] bool — escaped the scene (sky owed, see bounce_pre)
     last_lobe_diffuse: jnp.ndarray  # [B] bool
     last_pdf: jnp.ndarray  # [B]
     last_spectrum: jnp.ndarray  # [B, 3]
@@ -128,6 +129,7 @@ def init_state(
         throughput=jnp.ones((batch, 3), jnp.float32),
         radiance=jnp.zeros((batch, 3), jnp.float32),
         alive=jnp.ones(batch, bool),
+        missed=jnp.zeros(batch, bool),
         last_lobe_diffuse=jnp.zeros(batch, bool),
         last_pdf=jnp.ones(batch, jnp.float32),
         last_spectrum=jnp.zeros((batch, 3), jnp.float32),
@@ -180,17 +182,16 @@ def bounce_pre(
 
     hit_pos = ro + rd * res.t[..., None]
 
-    # ---- miss: sky (reference: kernels/src/lib.rs:66-79) ------------------
-    # The (possibly expensive) sky evaluation runs only when some lane
-    # actually escaped — in closed scenes the whole branch is skipped at
-    # runtime.
+    # ---- miss: sky, DEFERRED (reference: kernels/src/lib.rs:66-79) --------
+    # A lane can escape at most once per sample, and a dead lane's
+    # ro/rd/throughput stay frozen at their miss-time values (every
+    # update below is masked by `shade`). So instead of paying the
+    # 12-step atmosphere march every bounce (measured ~10 ms/bounce at
+    # 1.8M lanes on DarkCornell), we only flag the miss here and fold
+    # sky radiance in ONCE on the final bounce — bit-exact, because a
+    # dead lane's later bounces contribute exactly +0.0 to radiance.
     miss = st.alive & ~res.hit
-    sky = jax.lax.cond(
-        jnp.any(miss),
-        lambda: sky_radiance(scene, cfg.has_skybox, cam.sun_direction, ro, rd),
-        lambda: jnp.zeros_like(ro),
-    )
-    radiance = radiance + jnp.where(miss[..., None], throughput * sky, 0.0)
+    missed = st.missed | miss
 
     hit_alive = st.alive & res.hit
     emissive = attrs[:, W.ATTR_EMISSIVE]
@@ -330,12 +331,25 @@ def bounce_pre(
             throughput,
         )
 
+    # ---- deferred sky payoff (final bounce only) ---------------------------
+    # Missed lanes' ro/rd/throughput are frozen at miss time, so one
+    # evaluation here serves every bounce's escapees. The cond skips the
+    # march entirely in closed scenes (e.g. the furnace).
+    if bounce == cfg.max_bounces - 1:
+        sky = jax.lax.cond(
+            jnp.any(missed),
+            lambda: sky_radiance(scene, cfg.has_skybox, cam.sun_direction, ro, rd),
+            lambda: jnp.zeros_like(ro),
+        )
+        radiance = radiance + jnp.where(missed[..., None], throughput * sky, 0.0)
+
     st = TraceState(
         ro=ro,
         rd=rd,
         throughput=throughput,
         radiance=radiance,
         alive=alive,
+        missed=missed,
         last_lobe_diffuse=jnp.where(shade, sampled_diffuse, st.last_lobe_diffuse),
         last_pdf=jnp.where(shade, bs.pdf, st.last_pdf),
         last_spectrum=jnp.where(shade[..., None], bs.spectrum, st.last_spectrum),

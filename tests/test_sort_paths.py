@@ -26,6 +26,7 @@ def _fake_state(n, rng):
         throughput=f(n, 3),
         radiance=f(n, 3),
         alive=jnp.asarray(rng.random(n) > 0.3),
+        missed=jnp.asarray(rng.random(n) > 0.7),
         last_lobe_diffuse=jnp.asarray(rng.random(n) > 0.5),
         last_pdf=f(n),
         last_spectrum=f(n, 3),
