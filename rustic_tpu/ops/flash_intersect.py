@@ -205,10 +205,37 @@ def _dot_f32(f_tile, g_block):
     )
 
 
-def _dot_split3(f_tile, g_hi, g_lo):
-    f_hi, f_lo = split_bf16_kernel(f_tile)
-    return _dot_default(f_hi, g_hi) + (
-        _dot_default(f_hi, g_lo) + _dot_default(f_lo, g_hi)
+# Transposed-lhs variants: the scan kernels take ray features as
+# [16, BT] (B-minor), because that matches the layout XLA naturally
+# assigns the [B, 16] feature arrays in the surrounding stages
+# ({0,1}, i.e. physically [16, B]) — so the jit-boundary transpose into
+# the Mosaic-required row-major layout is a free bitcast instead of a
+# 118 MB-per-launch relayout copy (and the row-major [B, 16] form would
+# additionally pad 16 -> 128 lanes, 8x the HBM footprint).
+def _dotT_default(f_t, b):
+    return jax.lax.dot_general(
+        f_t,
+        b,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+
+def _dotT_f32(f_t, g_block):
+    return jax.lax.dot_general(
+        f_t,
+        g_block,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _dotT_split3(f_t, g_hi, g_lo):
+    f_hi, f_lo = split_bf16_kernel(f_t)
+    return _dotT_default(f_hi, g_hi) + (
+        _dotT_default(f_hi, g_lo) + _dotT_default(f_lo, g_hi)
     )
 
 
@@ -249,15 +276,24 @@ class _DotPlan:
             return (hi, lo)
         return (tri_feats16, hi, lo)
 
-    def dot_near(self, f_tile, g_blocks):
+    def dot_near(self, f_t, g_blocks):
         if self.precision == "bf16x3":
-            return _dot_split3(f_tile, g_blocks[0], g_blocks[1])
-        return _dot_f32(f_tile, g_blocks[0])
+            return _dotT_split3(f_t, g_blocks[0], g_blocks[1])
+        return _dotT_f32(f_t, g_blocks[0])
 
-    def dot_any(self, f_tile, g_blocks):
+    def dot_any(self, f_t, g_blocks):
         if self.precision == "f32":
-            return _dot_f32(f_tile, g_blocks[0])
-        return _dot_split3(f_tile, g_blocks[-2], g_blocks[-1])
+            return _dotT_f32(f_t, g_blocks[0])
+        return _dotT_split3(f_t, g_blocks[-2], g_blocks[-1])
+
+
+def _dot_split3(f_tile, g_hi, g_lo):
+    """Row-major-lhs compensated dot — kept for the experimental fused
+    bounce kernel, which still ships [BT, 16] feature blocks."""
+    f_hi, f_lo = split_bf16_kernel(f_tile)
+    return _dot_default(f_hi, g_hi) + (
+        _dot_default(f_hi, g_lo) + _dot_default(f_lo, g_hi)
+    )
 
 
 def _make_pair_dot(split: bool):
@@ -313,15 +349,30 @@ def _tile_minarg(plan, f_tile, g_blocks, tt):
         return jnp.min(tm, axis=1), jnp.argmin(tm, axis=1).astype(jnp.int32)
     d, us, vs, ts = _num_split(plan.dot_near(f_tile, g_blocks), tt)
     m = plan.near_margin
-    good = d >= plan.near_det_eps
-    # margin == 0 (the f32 scan) must not pay the two margin muls
-    lo = 0.0 if m == 0.0 else -m * d
-    hi = d if m == 0.0 else (1.0 + m) * d
-    valid = (
-        good & (us >= lo) & (us <= hi) & (vs >= lo) & (us + vs <= hi)
-        & (ts > EPS * d)
-    )
-    t = ts * pl.reciprocal(jnp.where(good, d, 1.0))
+    # The whole validity window as ONE min-gate (the scans are VPU
+    # issue-bound, so every elementwise pass counts): us>=0 & vs>=0 &
+    # us+vs<=d & ts>EPS*d  <=>  min(us, vs, d-us-vs, ts-EPS*d) >= 0
+    # (us<=d is implied by vs>=0 & us+vs<=d), and d>=det_eps rides in
+    # as one more min term. Boundary (==0) pairs differ from the old
+    # chained compares by at most 1 ulp of associativity — measure-zero
+    # edge hits the consumer's exact winner re-test resolves anyway.
+    if m == 0.0:
+        gate = jnp.minimum(
+            jnp.minimum(us, vs), jnp.minimum(d - us - vs, ts - EPS * d)
+        )
+    else:
+        # margin mode (bf16x3 nearest): epsilon-expanded window; the
+        # dropped us<=(1+m)d check only widens it further (safe — false
+        # positives are killed by the exact re-test).
+        md = m * d
+        gate = jnp.minimum(
+            jnp.minimum(us + md, vs + md),
+            jnp.minimum(d + md - us - vs, ts - EPS * d),
+        )
+    valid = jnp.minimum(gate, d - plan.near_det_eps) >= 0.0
+    # unguarded reciprocal: d == 0 yields inf/NaN whose int bits exceed
+    # _BIG_BITS, and those pairs are masked invalid anyway
+    t = ts * pl.reciprocal(d)
     bits = jax.lax.bitcast_convert_type(t, jnp.int32)
     iota = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
     packed = jnp.where(valid, (bits & ~_IDX_MASK) | iota, _BIG_BITS)
@@ -339,31 +390,35 @@ def _tile_anyhit(plan, f_tile, g_blocks, tt):
         _, _, t, valid = _epilogue(
             plan.dot_any(f_tile, g_blocks), tt, det_eps=plan.any_det_eps
         )
-        hit = valid & (t <= f_tile[:, SH_MAXT_COL][:, None])
+        hit = valid & (t <= f_tile[SH_MAXT_COL, :][:, None])
         return jnp.any(hit, axis=1).astype(jnp.int32)
     d, us, vs, ts = _num_split(plan.dot_any(f_tile, g_blocks), tt)
-    good = d >= plan.any_det_eps
-    maxt = f_tile[:, SH_MAXT_COL][:, None]
-    hit = (
-        good & (us >= 0.0) & (vs >= 0.0) & (us + vs <= d)
-        & (ts > EPS * d) & (ts <= maxt * d)
+    maxt = f_tile[SH_MAXT_COL, :][:, None]
+    # Same single-min-gate trick as _tile_minarg, with the det threshold
+    # and the max_t window folded in; "any valid" then reduces as one
+    # max over columns instead of compare+and+any per pair.
+    gate = jnp.minimum(
+        jnp.minimum(us, vs), jnp.minimum(d - us - vs, ts - EPS * d)
     )
-    return jnp.any(hit, axis=1).astype(jnp.int32)
+    gate = jnp.minimum(
+        jnp.minimum(gate, maxt * d - ts), d - plan.any_det_eps
+    )
+    return (jnp.max(gate, axis=1) >= 0.0).astype(jnp.int32)
 
 
-def _tile_possible(f, aabb_row, limit):
+def _tile_possible(f_t, aabb_row, limit):
     """Can ANY ray in this block hit the tile AABB closer than its
     current limit? Scalar verdict for @pl.when tile culling. ~20 VPU ops
-    per ray vs a full MXU tile step per skipped tile."""
-    rd = f[:, 0:3]
-    ro = f[:, 6:9]
+    per ray vs a full MXU tile step per skipped tile. f_t: [16, BT]."""
+    rd = f_t[0:3, :]
+    ro = f_t[6:9, :]
     inv = jnp.where(jnp.abs(rd) < 1e-12, jnp.where(rd < 0, -1e12, 1e12), 1.0 / rd)
-    t1 = (aabb_row[0:3] - ro) * inv
-    t2 = (aabb_row[4:7] - ro) * inv
+    t1 = (aabb_row[0:3][:, None] - ro) * inv
+    t2 = (aabb_row[4:7][:, None] - ro) * inv
     lo = jnp.minimum(t1, t2)
     hi = jnp.maximum(t1, t2)
-    tmin = jnp.maximum(jnp.maximum(lo[:, 0], lo[:, 1]), lo[:, 2])
-    tmax = jnp.minimum(jnp.minimum(hi[:, 0], hi[:, 1]), hi[:, 2])
+    tmin = jnp.maximum(jnp.maximum(lo[0, :], lo[1, :]), lo[2, :])
+    tmax = jnp.minimum(jnp.minimum(hi[0, :], hi[1, :]), hi[2, :])
     ok = (tmax >= tmin) & (tmax > 0.0) & (tmin < limit)
     return jnp.any(ok)
 
@@ -382,12 +437,17 @@ def _winner_attrs(tile_arg, parts, tt):
     while costing ~0.5 ms of full-utilization MXU time at B=0.92M
     (vs ~5 ms for the XLA gather the consumer would otherwise do). The
     one-hot lives only in VMEM/VREGs — an XLA-level version loses the
-    win to HBM round-trips of the [B, T] one-hot."""
-    iota = jax.lax.broadcasted_iota(jnp.int32, (tile_arg.shape[0], tt), 1)
-    oh = (iota == tile_arg[:, None]).astype(jnp.bfloat16)
+    win to HBM round-trips of the [B, T] one-hot.
+
+    Emitted TRANSPOSED ([W, BT], parts [W, tt]): the consumer stages'
+    natural layout for a [B, W] attr table is {0,1} (physically
+    [W, B]), so the transposed emission makes the jit-boundary
+    transpose a free bitcast instead of a ~1 GB relayout copy."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tt, tile_arg.shape[0]), 0)
+    oh = (iota == tile_arg[None, :]).astype(jnp.bfloat16)
     return (
-        _dot_default(oh, parts[0]) + _dot_default(oh, parts[1])
-    ) + _dot_default(oh, parts[2])
+        _dot_default(parts[0], oh) + _dot_default(parts[1], oh)
+    ) + _dot_default(parts[2], oh)
 
 
 def _nearest_single_attrs(plan):
@@ -515,7 +575,7 @@ def _nearest_shadow_multi(plan):
             t_ref[0, :] = jnp.where(better, tile_min, t_ref[0, :])
             idx_ref[0, :] = jnp.where(better, tile_arg + j * tt, idx_ref[0, :])
 
-        @pl.when(_tile_possible(sh, aabb_row, sh[:, SH_MAXT_COL]))
+        @pl.when(_tile_possible(sh, aabb_row, sh[SH_MAXT_COL, :]))
         def _():
             g_blocks = tuple(r[...] for r in g_refs)
             occ_ref[0, :] = occ_ref[0, :] | _tile_anyhit(plan, sh, g_blocks, tt)
@@ -554,7 +614,7 @@ def _occlude_multi(plan):
         f = f_ref[...]
         aabb_row = aabb_ref[pl.ds(j, 1), :][0, :]
 
-        @pl.when(_tile_possible(f, aabb_row, f[:, SH_MAXT_COL]))
+        @pl.when(_tile_possible(f, aabb_row, f[SH_MAXT_COL, :]))
         def _():
             g_blocks = tuple(r[...] for r in g_refs)
             occ_ref[0, :] = occ_ref[0, :] | _tile_anyhit(plan, f, g_blocks, tt)
@@ -568,11 +628,15 @@ def _occlude_multi(plan):
 
 
 def _pad_rays(feats, bt):
+    """[B, 16] feature rows -> transposed [16, B_pad] kernel operand.
+
+    The transpose is a free bitcast when the producer stage handed the
+    array over in its natural {0,1} layout (see _dotT_default)."""
     b = feats.shape[0]
     pad = (-b) % bt
     if pad:
         feats = jnp.pad(feats, ((0, pad), (0, 0)))
-    return feats, b, feats.shape[0] // bt
+    return feats.T, b, feats.shape[0] // bt
 
 
 def _geometry(tri_feats16):
@@ -596,6 +660,9 @@ def pick_bt(tri_feats16) -> int:
     pays -8% (nothing is cullable, pure grid overhead) — open scenes
     are the common case, so multi-tile defaults to 256.
     """
+    env = os.environ.get("RUSTIC_BT")
+    if env:
+        return int(env)
     _, _, nt = _geometry(tri_feats16)
     return DEF_BT if nt == 1 else 256
 
@@ -622,7 +689,7 @@ def _g_specs(n, tt):
 
 
 _RAY_SPEC = lambda bt: pl.BlockSpec(  # noqa: E731
-    (bt, 16), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+    (16, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM
 )
 _ROW_SPEC = lambda bt: pl.BlockSpec(  # noqa: E731
     (1, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM
@@ -710,11 +777,12 @@ def _flash_nearest_attrs(
     g_ops = plan.g_operands(tri_feats16)
     kernel = _nearest_single_attrs(plan)
     w = attr_split.shape[-1]
+    parts = attr_split.transpose(0, 2, 1)  # [3, w, tt] (tiny)
     in_specs = (
         [_RAY_SPEC(bt)]
         + _g_specs(plan.ng, tt)
         + [
-            pl.BlockSpec((tt, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((w, tt), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
             for _ in range(3)
         ]
     )
@@ -725,17 +793,17 @@ def _flash_nearest_attrs(
         out_specs=[
             _ROW_SPEC(bt),
             _ROW_SPEC(bt),
-            pl.BlockSpec((bt, w), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, nb * bt), jnp.float32),
             jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),
-            jax.ShapeDtypeStruct((nb * bt, w), jnp.float32),
+            jax.ShapeDtypeStruct((w, nb * bt), jnp.float32),
         ],
         compiler_params=_params(interpret),
         interpret=interpret,
-    )(feats, *g_ops, attr_split[0], attr_split[1], attr_split[2])
-    return t_out.reshape(-1)[:b], idx_out.reshape(-1)[:b], attr_out[:b]
+    )(feats, *g_ops, parts[0], parts[1], parts[2])
+    return t_out.reshape(-1)[:b], idx_out.reshape(-1)[:b], attr_out[:, :b].T
 
 
 def flash_nearest_shadow_attrs(feats, shadow_feats, tri_feats16, tile_aabbs,
@@ -757,17 +825,18 @@ def _flash_nearest_shadow_attrs(
 ):
     plan = _DotPlan(precision)
     feats, b, nb = _pad_rays(feats, bt)
-    shadow_feats = jnp.pad(shadow_feats, ((0, feats.shape[0] - b), (0, 0)))
+    shadow_feats, _, _ = _pad_rays(shadow_feats, bt)
     t_pad, tt, nt = _geometry(tri_feats16)
     assert nt == 1, "in-kernel attr emission is single-tile only"
     g_ops = plan.g_operands(tri_feats16)
     kernel = _nearest_shadow_single_attrs(plan)
     w = attr_split.shape[-1]
+    parts = attr_split.transpose(0, 2, 1)  # [3, w, tt] (tiny)
     in_specs = (
         [_RAY_SPEC(bt), _RAY_SPEC(bt)]
         + _g_specs(plan.ng, tt)
         + [
-            pl.BlockSpec((tt, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((w, tt), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
             for _ in range(3)
         ]
     )
@@ -779,22 +848,22 @@ def _flash_nearest_shadow_attrs(
             _ROW_SPEC(bt),
             _ROW_SPEC(bt),
             _ROW_SPEC(bt),
-            pl.BlockSpec((bt, w), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, nb * bt), jnp.float32),
             jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),
             jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),
-            jax.ShapeDtypeStruct((nb * bt, w), jnp.float32),
+            jax.ShapeDtypeStruct((w, nb * bt), jnp.float32),
         ],
         compiler_params=_params(interpret),
         interpret=interpret,
-    )(feats, shadow_feats, *g_ops, attr_split[0], attr_split[1], attr_split[2])
+    )(feats, shadow_feats, *g_ops, parts[0], parts[1], parts[2])
     return (
         t_out.reshape(-1)[:b],
         idx_out.reshape(-1)[:b],
         occ_out.reshape(-1)[:b] != 0,
-        attr_out[:b],
+        attr_out[:, :b].T,
     )
 
 
@@ -822,7 +891,7 @@ def _flash_nearest_shadow(
 ):
     plan = _DotPlan(precision)
     feats, b, nb = _pad_rays(feats, bt)
-    shadow_feats = jnp.pad(shadow_feats, ((0, feats.shape[0] - b), (0, 0)))
+    shadow_feats, _, _ = _pad_rays(shadow_feats, bt)
     t_pad, tt, nt = _geometry(tri_feats16)
     g_ops = plan.g_operands(tri_feats16)
     kernel = (_nearest_shadow_single if nt == 1 else _nearest_shadow_multi)(plan)

@@ -39,7 +39,6 @@ from rustic_tpu.ops.flash_intersect import (
     _epilogue,
     _geometry,
     _make_pair_dot,
-    _pad_rays,
 )
 
 # this experimental kernel keeps the bit-conservative f32 pair dot
@@ -490,8 +489,11 @@ def fused_bounce(
 ):
     has_lights, has_glass, n_alias_entries = scene_statics_key
     b = feats.shape[0]
-    feats_p, _, nb = _pad_rays(feats, bt)
-    pad = feats_p.shape[0] - b
+    # this kernel keeps the row-major [B, 16] feature convention (the
+    # flash scan kernels moved to transposed [16, B] blocks)
+    pad = (-b) % bt
+    feats_p = jnp.pad(feats, ((0, pad), (0, 0))) if pad else feats
+    nb = feats_p.shape[0] // bt
     state_p = jnp.pad(state, ((0, pad), (0, 0)))
     occ_p = jnp.pad(prev_occ, (0, pad), constant_values=1)
     draws_p = jnp.pad(draws, ((0, pad), (0, 0)))

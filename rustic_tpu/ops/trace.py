@@ -118,6 +118,20 @@ def sample_draws(cfg: StaticConfig, sample_idx, offsets) -> jnp.ndarray:
     return jnp.stack(cols, axis=-1)
 
 
+def bounce_draws(bounce: int, sidx, offsets) -> jnp.ndarray:
+    """One bounce's 8 LDS draws [B, 8], computed on the fly — the same
+    dimension assignment as sample_draws. Recomputing per stage instead
+    of carrying the [B, 8*max_bounces] block across stage boundaries
+    trades ~40 VPU ops/lane for ~1 GB/sample of HBM traffic at
+    megabatch sizes (the staged pipeline uses this; the fused kernel
+    still takes the precomputed block)."""
+    cols = [
+        lds(sidx, _AA_DIMS + bounce * _DIMS_PER_BOUNCE + 1 + k, offsets)
+        for k in range(_DIMS_PER_BOUNCE)
+    ]
+    return jnp.stack(cols, axis=-1)
+
+
 def init_state(
     cfg: StaticConfig, cam: CameraParams, px, py, sample_idx, offsets
 ) -> TraceState:

@@ -167,20 +167,33 @@ def _permute_lanes(perm, tree):
     leaf rides in one packed [B, W] f32 matrix (XLA TPU gather cost is
     flat in row width but linear in gather count). Non-f32 leaves
     round-trip through f32 — exact for the bool masks and the i32
-    indices here, which stay far below 2^24."""
+    indices here, which stay far below 2^24. u32 leaves (the full-range
+    RNG offsets) ride as two 16-bit-half f32 columns, so they survive
+    bit-exactly."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     meta, cols = [], []
     for a in leaves:
         a2 = a[:, None] if a.ndim == 1 else a
-        meta.append((a.dtype, a.ndim, a2.shape[1]))
-        cols.append(a2.astype(jnp.float32))
+        if a.dtype == jnp.uint32:
+            meta.append((a.dtype, a.ndim, a2.shape[1]))
+            cols.append((a2 & jnp.uint32(0xFFFF)).astype(jnp.float32))
+            cols.append((a2 >> 16).astype(jnp.float32))
+        else:
+            meta.append((a.dtype, a.ndim, a2.shape[1]))
+            cols.append(a2.astype(jnp.float32))
     packed = jnp.concatenate(cols, axis=1)[perm]
     out, o = [], 0
     for dtype, ndim, w in meta:
-        sl = packed[:, o : o + w]
-        o += w
-        if dtype != jnp.float32:
-            sl = sl.astype(dtype)
+        if dtype == jnp.uint32:
+            lo = packed[:, o : o + w].astype(jnp.uint32)
+            hi = packed[:, o + w : o + 2 * w].astype(jnp.uint32)
+            sl = lo | (hi << 16)
+            o += 2 * w
+        else:
+            sl = packed[:, o : o + w]
+            o += w
+            if dtype != jnp.float32:
+                sl = sl.astype(dtype)
         out.append(sl[:, 0] if ndim == 1 else sl)
     return jax.tree_util.tree_unflatten(treedef, out)
 
@@ -220,15 +233,18 @@ def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1):
     def init(cam, px, py, sample_idx, offsets):
         sidx = _fold_sample_idx(sample_idx, px.shape[0], fold)
         st = trace_mod.init_state(cfg, cam, px, py, sidx, offsets)
-        draws = trace_mod.sample_draws(cfg, sidx, offsets)
-        return st, _ray_features16(st.ro, st.rd), draws
+        return st, _ray_features16(st.ro, st.rd), sidx
 
     def make_pre(bounce: int, last: bool):
         # Donate the per-bounce state and the kernel outputs: every one
         # is consumed exactly once here, so XLA can update in place
         # instead of allocating fresh 0.1-1 GB buffers per stage.
+        # LDS draws are recomputed per stage from (sidx, offsets)
+        # instead of carrying the [B, 8*max_bounces] block (see
+        # trace.bounce_draws).
         @functools.partial(jax.jit, donate_argnums=(2, 3, 4, 5, 6, 7))
-        def pre(scene, cam, st, prev_nee, prev_occ, t, idx, attrs, draws):
+        def pre(scene, cam, st, prev_nee, prev_occ, t, idx, attrs, sidx,
+                offsets):
             if prev_nee is not None:
                 st = trace_mod.bounce_post(st, prev_nee, prev_occ)
             if attrs is None:
@@ -238,7 +254,7 @@ def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1):
             )
             st2, nee_pack = trace_mod.bounce_pre(
                 scene, cfg, cam, bounce, st, res,
-                draws[:, bounce * 8 : bounce * 8 + 8],
+                trace_mod.bounce_draws(bounce, sidx, offsets),
                 attrs=attrs,
             )
             if last:
@@ -288,16 +304,18 @@ def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False,
 
     @jax.jit
     def init(cam, px, py, sample_idx, offsets):
-        sidx = _fold_sample_idx(sample_idx, px.shape[0], fold)
-        st = trace_mod.init_state(cfg, cam, px, py, sidx, offsets)
-        draws = trace_mod.sample_draws(cfg, sidx, offsets)
         lanes = px.shape[0]
+        sidx = jnp.broadcast_to(
+            _fold_sample_idx(sample_idx, lanes, fold), (lanes,)
+        )
+        st = trace_mod.init_state(cfg, cam, px, py, sidx, offsets)
         lane2px = jnp.arange(lanes, dtype=jnp.int32) % (lanes // fold)
-        return st, _ray_features16(st.ro, st.rd), draws, lane2px
+        return st, _ray_features16(st.ro, st.rd), sidx, lane2px
 
     def make_pre(bounce: int, last: bool):
         @jax.jit
-        def pre(scene, cam, st, prev_nee, prev_occ, t, idx, draws, lane2px):
+        def pre(scene, cam, st, prev_nee, prev_occ, t, idx, sidx, offsets,
+                lane2px):
             if prev_nee is not None:
                 st = trace_mod.bounce_post(st, prev_nee, prev_occ)
             attrs = gather_attr_rows(scene, idx)
@@ -306,19 +324,22 @@ def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False,
             )
             st2, nee_pack = trace_mod.bounce_pre(
                 scene, cfg, cam, bounce, st, res,
-                draws[:, bounce * 8 : bounce * 8 + 8],
+                trace_mod.bounce_draws(bounce, sidx, offsets),
                 attrs=attrs,
             )
             if last:
                 # See _stages.make_pre: only finish's inputs are
                 # returned so the untraced continuation is DCE'd.
                 if nee_pack is None:
-                    return st2.radiance, None, None, None, lane2px
+                    return st2.radiance, None, None, None, None, lane2px
                 shadow_feats = _sentinel_feats(
                     _shadow_feats16(nee_pack), ~nee_pack.eligible
                 )
                 slim = (nee_pack.eligible, nee_pack.contribution)
-                return st2.radiance, None, (slim, shadow_feats), None, lane2px
+                return (
+                    st2.radiance, None, (slim, shadow_feats), None, None,
+                    lane2px,
+                )
             next_feats = _sentinel_feats(
                 _ray_features16(st2.ro, st2.rd), ~st2.alive
             )
@@ -328,15 +349,19 @@ def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False,
                     _shadow_feats16(nee_pack), ~nee_pack.eligible
                 )
             perm = _sort_perm(scene, st2, ~st2.alive)
-            st2, nee_pack, next_feats, shadow_feats, draws, lane2px = (
+            st2, nee_pack, next_feats, shadow_feats, sidx, offsets, lane2px = (
                 _permute_lanes(
                     perm,
-                    (st2, nee_pack, next_feats, shadow_feats, draws, lane2px),
+                    (st2, nee_pack, next_feats, shadow_feats, sidx, offsets,
+                     lane2px),
                 )
             )
             if nee_pack is None:
-                return st2, next_feats, None, draws, lane2px
-            return st2, next_feats, (nee_pack, shadow_feats), draws, lane2px
+                return st2, next_feats, None, sidx, offsets, lane2px
+            return (
+                st2, next_feats, (nee_pack, shadow_feats), sidx, offsets,
+                lane2px,
+            )
 
         return pre
 
@@ -486,7 +511,7 @@ def render_batch_staged(
             tiled if g == fold else _tile_inputs((px, py, offsets), g)
         )
         sample_idx = jnp.uint32(sample_start + k)
-        st, feats, draws = init(cam, pxg, pyg, sample_idx, offg)
+        st, feats, sidx = init(cam, pxg, pyg, sample_idx, offg)
         prev_nee = pending_shadow = None
         for bounce in range(cfg.max_bounces):
             attrs = None
@@ -518,7 +543,7 @@ def render_batch_staged(
                         bt=bt, interpret=interpret, precision=prec,
                     )
             st, feats, nee = pres[bounce](
-                scene, cam, st, prev_nee, prev_occ, t, idx, attrs, draws,
+                scene, cam, st, prev_nee, prev_occ, t, idx, attrs, sidx, offg,
             )
             prev_nee = pending_shadow = None
             if nee is not None:
@@ -552,7 +577,8 @@ def _render_batch_sorted(
             tiled if g == fold else _tile_inputs((px, py, offsets), g)
         )
         sample_idx = jnp.uint32(sample_start + k)
-        st, feats, draws, lane2px = init(cam, pxg, pyg, sample_idx, offg)
+        st, feats, sidx, lane2px = init(cam, pxg, pyg, sample_idx, offg)
+        offsets_s = offg
         prev_nee = pending_shadow = None
         for bounce in range(cfg.max_bounces):
             if pending_shadow is None:
@@ -566,9 +592,9 @@ def _render_batch_sorted(
                     feats, pending_shadow, g16, scene.tile_aabbs,
                     bt=bt, interpret=interpret, precision=prec,
                 )
-            st, feats, nee, draws, lane2px = pres[bounce](
+            st, feats, nee, sidx, offsets_s, lane2px = pres[bounce](
                 scene, cam, st, prev_nee, prev_occ, t, idx,
-                draws, lane2px,
+                sidx, offsets_s, lane2px,
             )
             prev_nee = pending_shadow = None
             if nee is not None:

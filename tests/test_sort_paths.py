@@ -88,10 +88,11 @@ def test_sentinel_feats_escape_every_tile(cornell_scene):
     dead = jnp.asarray(np.ones(64, bool))
     sent = P._sentinel_feats(feats, dead)
     # every row replaced, and a fully-dead block culls every tile
+    # (_tile_possible takes the kernels' transposed [16, BT] block)
     assert float(jnp.max(jnp.abs(sent[:, 0:3] - sent[0:1, 0:3]))) == 0.0
     for j in range(cornell_scene.tile_aabbs.shape[0]):
         reachable = _tile_possible(
-            sent, cornell_scene.tile_aabbs[j], sent[:, 10]
+            sent.T, cornell_scene.tile_aabbs[j], sent[:, 10]
         )
         assert not bool(reachable)
     # live rows untouched

@@ -45,19 +45,20 @@ def main():
     feats = _ray_features16(ro, rd)
     shadow = feats.at[:, 10].set(2.0)
 
+    QUEUE = 10
+
     def timeit(name, fn):
         outs = fn()  # compile
-        for _ in range(2):
-            fn()
         first = outs[0] if isinstance(outs, (tuple, list)) else outs
         np.asarray(first.reshape(-1)[:1])
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            o = fn()
+            for _ in range(QUEUE):
+                o = fn()
             f = o[0] if isinstance(o, (tuple, list)) else o
             np.asarray(f.reshape(-1)[:1])
-            ts.append((time.perf_counter() - t0) * 1e3)
+            ts.append((time.perf_counter() - t0) * 1e3 / QUEUE)
         print(f"{name:30s} median {np.median(ts):7.2f} ms  min {min(ts):7.2f}",
               flush=True)
 

@@ -85,6 +85,22 @@ def main():
         print(f"{name[:70]:70s} {t:9.2f} {c:6d} {t / c:8.3f}")
     print(f"\nsum of op durations: {total:.1f} ms over {spp} spp "
           f"(per-sample {total / spp:.1f} ms)")
+
+    # leaf-op time attributed to source lines (skips the module-level
+    # jit_* wrapper rows, which double-count their children)
+    by_src = defaultdict(float)
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        name = e.get("name", "?")
+        if name.startswith("jit_") or "args" not in e:
+            continue
+        src = e["args"].get("source", "")
+        if src:
+            by_src[src] += e.get("dur", 0) / 1e3
+    print(f"\n{'source line':70s} {'total_ms':>9s}")
+    for src, t in sorted(by_src.items(), key=lambda kv: -kv[1])[:30]:
+        print(f"{src[-70:]:70s} {t:9.2f}")
     return 0
 
 
