@@ -48,8 +48,10 @@ def _densities_rm(p):
     return jnp.exp(-h / _H_RAY), jnp.exp(-h / _H_MIE)
 
 
-def _scatter_depth_int(o, d, l):
-    r0, m0 = _densities_rm(o)
+def _scatter_depth_int(o, d, l, r0, m0):
+    """Trapezoid optical depth along the sun ray. (r0, m0) are the
+    densities at `o`, which every caller has already computed — reusing
+    them drops 2 exp + 1 sqrt per march step, bit-exactly."""
     r1, m1 = _densities_rm(o + d * l[..., None])
     return r0 * (l / 2.0) + r1 * (l / 2.0), m0 * (l / 2.0) + m1 * (l / 2.0)
 
@@ -70,13 +72,13 @@ def procedural_sky(sun_direction: jnp.ndarray, ro: jnp.ndarray, rd: jnp.ndarray)
     total_m = jnp.zeros(rd.shape[:-1], jnp.float32)
     for i in range(_STEPS):
         p = ro + rd * (depth * i)[..., None]
-        dr, dm = _densities_rm(p)
-        dr = dr * depth
-        dm = dm * depth
+        r0, m0 = _densities_rm(p)
+        dr = r0 * depth
+        dm = m0 * depth
         total_r = total_r + dr
         total_m = total_m + dm
         sr, sm = _scatter_depth_int(
-            p, sundir, _escape(p, sundir, _ATMOSPHERE_RADIUS)
+            p, sundir, _escape(p, sundir, _ATMOSPHERE_RADIUS), r0, m0
         )
         depth_r = total_r + sr
         depth_m = total_m + sm
