@@ -80,15 +80,24 @@ DEF_TT = 512  # triangles per tile
 SH_MAXT_COL = 10  # shadow rays carry max_t in this spare feature column
 
 
+def _tt_cap() -> int:
+    """Triangle-tile width cap. $RUSTIC_TT overrides DEF_TT (experiments:
+    finer tiles turn single-tile scenes into multi-tile ones, engaging
+    per-block AABB culling + path sorting at the cost of grid overhead).
+    Read at scene PACK time — pack and render in one process."""
+    return int(os.environ.get("RUSTIC_TT", DEF_TT))
+
+
 def padded_tri_count(t_count: int) -> int:
     """Pad to a lane multiple (128); beyond one tile, to a tile multiple."""
-    if t_count <= DEF_TT:
+    tt = _tt_cap()
+    if t_count <= tt:
         return -(-t_count // 128) * 128
-    return -(-t_count // DEF_TT) * DEF_TT
+    return -(-t_count // tt) * tt
 
 
 def tile_size(t_pad: int) -> int:
-    return min(t_pad, DEF_TT)
+    return min(t_pad, _tt_cap())
 
 
 def pack_tri_feats16(tri_feats):
@@ -259,6 +268,17 @@ class _DotPlan:
         self.near_margin = 1e-3 if precision == "bf16x3" else 0.0
         self.near_det_eps = DET_EPS_SPLIT if precision == "bf16x3" else DET_EPS
         self.any_det_eps = DET_EPS if precision == "f32" else DET_EPS_SPLIT
+        # The bf16x3 nearest scan carries its TOP-2 candidates out of the
+        # packed reduction: the consumer re-tests both in exact f32 and
+        # keeps the nearest valid one (classify_flash_hit2), so a wrong
+        # final winner needs THREE triangles inside the ~2^-16 dot noise
+        # window along one ray instead of two — closing the
+        # winner-misranking hole that kept bf16x3 opt-in.
+        # ($RUSTIC_TOP2=0 disables the carry — perf experiments only.)
+        self.top2 = (
+            precision == "bf16x3"
+            and os.environ.get("RUSTIC_TOP2", "1") == "1"
+        )
         if precision == "f32":
             self.ng = 1
         elif precision == "bf16x3":
@@ -347,6 +367,7 @@ def _tile_minarg(plan, f_tile, g_blocks, tt):
         )
         tm = jnp.where(valid, t, BIG)
         return jnp.min(tm, axis=1), jnp.argmin(tm, axis=1).astype(jnp.int32)
+    assert not plan.top2, "top2 plans use _tile_top2"
     d, us, vs, ts = _num_split(plan.dot_near(f_tile, g_blocks), tt)
     m = plan.near_margin
     # The whole validity window as ONE min-gate (the scans are VPU
@@ -379,6 +400,73 @@ def _tile_minarg(plan, f_tile, g_blocks, tt):
     win = jnp.min(packed, axis=1)
     tmin = jax.lax.bitcast_convert_type(win & ~_IDX_MASK, jnp.float32)
     return tmin, win & _IDX_MASK
+
+
+def _unpack(win):
+    return (
+        jax.lax.bitcast_convert_type(win & ~_IDX_MASK, jnp.float32),
+        win & _IDX_MASK,
+    )
+
+
+def _tile_top2(plan, f_tile, g_blocks, tt):
+    """Top-2 valid candidates of one tile: (t1, i1, t2, i2), t1 <= t2.
+
+    Same packed candidates as _tile_minarg, reduced by a fold-halves
+    TOURNAMENT that carries (best, second) per position: per level,
+    best = min(a1, b1) and second = min(max(a1, b1), min(a2, b2)).
+    Measured on v5e at [1024, 512] i32: +1.2 ms over a single packed
+    min — a winner-masked second jnp.min pass (broadcast compare +
+    select + re-reduce) costs +5.8 ms. Packed values are distinct per
+    column (the index rides in the low bits), so exact ties cannot
+    duplicate one candidate into both slots. Rays with < 2 valid
+    candidates read BIG/0 in the missing slots."""
+    d, us, vs, ts = _num_split(plan.dot_near(f_tile, g_blocks), tt)
+    md = plan.near_margin * d
+    gate = jnp.minimum(
+        jnp.minimum(us + md, vs + md),
+        jnp.minimum(d + md - us - vs, ts - EPS * d),
+    )
+    valid = jnp.minimum(gate, d - plan.near_det_eps) >= 0.0
+    t = ts * pl.reciprocal(d)
+    bits = jax.lax.bitcast_convert_type(t, jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+    m1 = jnp.where(valid, (bits & ~_IDX_MASK) | iota, _BIG_BITS)
+    width = 1 << (tt - 1).bit_length()  # fold needs a power-of-two width
+    if width != tt:
+        m1 = jnp.pad(
+            m1, ((0, 0), (0, width - tt)), constant_values=_BIG_BITS
+        )
+    m2 = jnp.full_like(m1, _BIG_BITS)
+    while width > 1:
+        h = width // 2
+        a1, b1 = m1[:, :h], m1[:, h:width]
+        a2, b2 = m2[:, :h], m2[:, h:width]
+        m1 = jnp.minimum(a1, b1)
+        m2 = jnp.minimum(jnp.maximum(a1, b1), jnp.minimum(a2, b2))
+        width = h
+    return _unpack(m1[:, 0]) + _unpack(m2[:, 0])
+
+
+def _merge_top2(t1o, i1o, t2o, i2o, s1, b1, s2, b2):
+    """Merge two per-ray sorted candidate pairs into the union's top-2.
+
+    Candidates come from disjoint triangle tiles, so indices never
+    collide. top1 = min(t1o, s1); top2 = min(max(t1o, s1),
+    min(t2o, s2)) — the standard 2x2 bitonic merge. Ties break toward
+    the accumulated pair (arbitrary but deterministic)."""
+    c = s1 < t1o
+    n1t = jnp.where(c, s1, t1o)
+    n1i = jnp.where(c, b1, i1o)
+    lt = jnp.where(c, t1o, s1)  # loser of the top-1 duel
+    li = jnp.where(c, i1o, b1)
+    d2 = s2 < t2o
+    mt = jnp.where(d2, s2, t2o)
+    mi = jnp.where(d2, b2, i2o)
+    e = lt < mt
+    return (
+        n1t, n1i, jnp.where(e, lt, mt), jnp.where(e, li, mi)
+    )
 
 
 def _tile_anyhit(plan, f_tile, g_blocks, tt):
@@ -450,37 +538,97 @@ def _winner_attrs(tile_arg, parts, tt):
     ) + _dot_default(parts[2], oh)
 
 
+def _emit_near(plan, f, g_blocks, tt, near_refs):
+    """Run the tile's nearest reduction and write it to the output rows.
+    near_refs is (t, idx) or (t, idx, t2, idx2) for top-2 plans."""
+    if plan.top2:
+        t_ref, idx_ref, t2_ref, idx2_ref = near_refs
+        t1, a1, t2, a2 = _tile_top2(plan, f, g_blocks, tt)
+        t_ref[0, :] = t1
+        idx_ref[0, :] = a1
+        t2_ref[0, :] = t2
+        idx2_ref[0, :] = a2
+        return a1
+    t_ref, idx_ref = near_refs
+    tile_min, tile_arg = _tile_minarg(plan, f, g_blocks, tt)
+    t_ref[0, :] = tile_min
+    idx_ref[0, :] = tile_arg
+    return tile_arg
+
+
+def _merge_near(plan, f, g_blocks, tt, j, near_refs):
+    """Multi-tile accumulate step: fold this tile's candidates into the
+    running output rows (local winner indices offset by the tile base)."""
+    if plan.top2:
+        t_ref, idx_ref, t2_ref, idx2_ref = near_refs
+        s1, b1, s2, b2 = _tile_top2(plan, f, g_blocks, tt)
+        n1t, n1i, n2t, n2i = _merge_top2(
+            t_ref[0, :], idx_ref[0, :], t2_ref[0, :], idx2_ref[0, :],
+            s1, b1 + j * tt, s2, b2 + j * tt,
+        )
+        t_ref[0, :] = n1t
+        idx_ref[0, :] = n1i
+        t2_ref[0, :] = n2t
+        idx2_ref[0, :] = n2i
+        return
+    t_ref, idx_ref = near_refs
+    tile_min, tile_arg = _tile_minarg(plan, f, g_blocks, tt)
+    better = tile_min < t_ref[0, :]
+    t_ref[0, :] = jnp.where(better, tile_min, t_ref[0, :])
+    idx_ref[0, :] = jnp.where(better, tile_arg + j * tt, idx_ref[0, :])
+
+
+def _init_near(near_refs):
+    for k, r in enumerate(near_refs):
+        r[...] = jnp.full_like(r, BIG) if k % 2 == 0 else jnp.zeros_like(r)
+
+
+def _cull_limit(plan, near_refs):
+    """Tile-cull limit: top-2 plans must keep any tile that could still
+    contribute a SECOND-best candidate, so they cull against t2."""
+    return near_refs[2][0, :] if plan.top2 else near_refs[0][0, :]
+
+
+def _n_near(plan):
+    return 4 if plan.top2 else 2
+
+
 def _nearest_single_attrs(plan):
     ng = plan.ng
+    nn = _n_near(plan)
 
     def kernel(*refs):
         f_ref = refs[0]
         g_blocks = tuple(r[...] for r in refs[1 : 1 + ng])
         parts = tuple(r[...] for r in refs[1 + ng : 4 + ng])
-        t_ref, idx_ref, attr_ref = refs[4 + ng :]
+        near_refs = refs[4 + ng : 4 + ng + nn]
+        attr_refs = refs[4 + ng + nn :]
         tt = g_blocks[0].shape[-1] // 4
-        tile_min, tile_arg = _tile_minarg(plan, f_ref[...], g_blocks, tt)
-        t_ref[0, :] = tile_min
-        idx_ref[0, :] = tile_arg
-        attr_ref[...] = _winner_attrs(tile_arg, parts, tt)
+        _emit_near(plan, f_ref[...], g_blocks, tt, near_refs)
+        attr_refs[0][...] = _winner_attrs(near_refs[1][0, :], parts, tt)
+        if plan.top2:
+            attr_refs[1][...] = _winner_attrs(near_refs[3][0, :], parts, tt)
 
     return kernel
 
 
 def _nearest_shadow_single_attrs(plan):
     ng = plan.ng
+    nn = _n_near(plan)
 
     def kernel(*refs):
         f_ref, sh_ref = refs[0], refs[1]
         g_blocks = tuple(r[...] for r in refs[2 : 2 + ng])
         parts = tuple(r[...] for r in refs[2 + ng : 5 + ng])
-        t_ref, idx_ref, occ_ref, attr_ref = refs[5 + ng :]
+        near_refs = refs[5 + ng : 5 + ng + nn]
+        occ_ref = refs[5 + ng + nn]
+        attr_refs = refs[6 + ng + nn :]
         tt = g_blocks[0].shape[-1] // 4
-        tile_min, tile_arg = _tile_minarg(plan, f_ref[...], g_blocks, tt)
-        t_ref[0, :] = tile_min
-        idx_ref[0, :] = tile_arg
+        _emit_near(plan, f_ref[...], g_blocks, tt, near_refs)
         occ_ref[0, :] = _tile_anyhit(plan, sh_ref[...], g_blocks, tt)
-        attr_ref[...] = _winner_attrs(tile_arg, parts, tt)
+        attr_refs[0][...] = _winner_attrs(near_refs[1][0, :], parts, tt)
+        if plan.top2:
+            attr_refs[1][...] = _winner_attrs(near_refs[3][0, :], parts, tt)
 
     return kernel
 
@@ -491,11 +639,9 @@ def _nearest_single(plan):
     def kernel(*refs):
         f_ref = refs[0]
         g_blocks = tuple(r[...] for r in refs[1 : 1 + ng])
-        t_ref, idx_ref = refs[1 + ng :]
+        near_refs = refs[1 + ng :]
         tt = g_blocks[0].shape[-1] // 4
-        tile_min, tile_arg = _tile_minarg(plan, f_ref[...], g_blocks, tt)
-        t_ref[0, :] = tile_min
-        idx_ref[0, :] = tile_arg
+        _emit_near(plan, f_ref[...], g_blocks, tt, near_refs)
 
     return kernel
 
@@ -507,40 +653,36 @@ def _nearest_multi(plan):
         f_ref = refs[0]
         g_refs = refs[1 : 1 + ng]
         aabb_ref = refs[1 + ng]
-        t_ref, idx_ref = refs[2 + ng :]
+        near_refs = refs[2 + ng :]
         j = pl.program_id(1)
         tt = g_refs[0].shape[-1] // 4
 
         @pl.when(j == 0)
         def _():
-            t_ref[...] = jnp.full_like(t_ref, BIG)
-            idx_ref[...] = jnp.zeros_like(idx_ref)
+            _init_near(near_refs)
 
         f = f_ref[...]
         aabb_row = aabb_ref[pl.ds(j, 1), :][0, :]
 
-        @pl.when(_tile_possible(f, aabb_row, t_ref[0, :]))
+        @pl.when(_tile_possible(f, aabb_row, _cull_limit(plan, near_refs)))
         def _():
             g_blocks = tuple(r[...] for r in g_refs)
-            tile_min, tile_arg = _tile_minarg(plan, f, g_blocks, tt)
-            better = tile_min < t_ref[0, :]
-            t_ref[0, :] = jnp.where(better, tile_min, t_ref[0, :])
-            idx_ref[0, :] = jnp.where(better, tile_arg + j * tt, idx_ref[0, :])
+            _merge_near(plan, f, g_blocks, tt, j, near_refs)
 
     return kernel
 
 
 def _nearest_shadow_single(plan):
     ng = plan.ng
+    nn = _n_near(plan)
 
     def kernel(*refs):
         f_ref, sh_ref = refs[0], refs[1]
         g_blocks = tuple(r[...] for r in refs[2 : 2 + ng])
-        t_ref, idx_ref, occ_ref = refs[2 + ng :]
+        near_refs = refs[2 + ng : 2 + ng + nn]
+        occ_ref = refs[2 + ng + nn]
         tt = g_blocks[0].shape[-1] // 4
-        tile_min, tile_arg = _tile_minarg(plan, f_ref[...], g_blocks, tt)
-        t_ref[0, :] = tile_min
-        idx_ref[0, :] = tile_arg
+        _emit_near(plan, f_ref[...], g_blocks, tt, near_refs)
         occ_ref[0, :] = _tile_anyhit(plan, sh_ref[...], g_blocks, tt)
 
     return kernel
@@ -548,32 +690,30 @@ def _nearest_shadow_single(plan):
 
 def _nearest_shadow_multi(plan):
     ng = plan.ng
+    nn = _n_near(plan)
 
     def kernel(*refs):
         f_ref, sh_ref = refs[0], refs[1]
         g_refs = refs[2 : 2 + ng]
         aabb_ref = refs[2 + ng]
-        t_ref, idx_ref, occ_ref = refs[3 + ng :]
+        near_refs = refs[3 + ng : 3 + ng + nn]
+        occ_ref = refs[3 + ng + nn]
         j = pl.program_id(1)
         tt = g_refs[0].shape[-1] // 4
 
         @pl.when(j == 0)
         def _():
-            t_ref[...] = jnp.full_like(t_ref, BIG)
-            idx_ref[...] = jnp.zeros_like(idx_ref)
+            _init_near(near_refs)
             occ_ref[...] = jnp.zeros_like(occ_ref)
 
         f = f_ref[...]
         sh = sh_ref[...]
         aabb_row = aabb_ref[pl.ds(j, 1), :][0, :]
 
-        @pl.when(_tile_possible(f, aabb_row, t_ref[0, :]))
+        @pl.when(_tile_possible(f, aabb_row, _cull_limit(plan, near_refs)))
         def _():
             g_blocks = tuple(r[...] for r in g_refs)
-            tile_min, tile_arg = _tile_minarg(plan, f, g_blocks, tt)
-            better = tile_min < t_ref[0, :]
-            t_ref[0, :] = jnp.where(better, tile_min, t_ref[0, :])
-            idx_ref[0, :] = jnp.where(better, tile_arg + j * tt, idx_ref[0, :])
+            _merge_near(plan, f, g_blocks, tt, j, near_refs)
 
         @pl.when(_tile_possible(sh, aabb_row, sh[SH_MAXT_COL, :]))
         def _():
@@ -705,9 +845,31 @@ def _params(interpret):
     return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
+def _near_out(plan, bt, nb):
+    """(out_specs, out_shapes) for the nearest result rows — (t, idx)
+    plus (t2, idx2) under a top-2 plan."""
+    nn = _n_near(plan)
+    specs = [_ROW_SPEC(bt)] * nn
+    shapes = [
+        jax.ShapeDtypeStruct(
+            (1, nb * bt), jnp.float32 if k % 2 == 0 else jnp.int32
+        )
+        for k in range(nn)
+    ]
+    return specs, shapes
+
+
+def _near_rows(plan, outs, b):
+    """Flatten kernel output rows to [:b] vectors; pad the non-top2 case
+    with Nones so every flash_nearest* returns a uniform-arity tuple."""
+    flat = tuple(o.reshape(-1)[:b] for o in outs)
+    return flat if plan.top2 else flat + (None, None)
+
+
 def flash_nearest(feats, tri_feats16, tile_aabbs, bt=DEF_BT,
                   interpret=False, precision="auto"):
-    """Nearest hit -> (t [B] f32, BIG when missed; idx [B] i32).
+    """Nearest hit -> (t [B] f32, BIG when missed; idx [B] i32;
+    t2, idx2 — the second-best candidate under a top-2 plan, else None).
 
     The winner's u/v/backface are re-derived exactly by the consumer
     from one gathered attr row (ops/intersect.py:refine_from_attrs)."""
@@ -739,26 +901,37 @@ def _flash_nearest(
     if nt > 1:
         in_specs.append(_AABB_SPEC(nt))
         operands.append(tile_aabbs)
-    t_out, idx_out = pl.pallas_call(
+    out_specs, out_shapes = _near_out(plan, bt, nb)
+    outs = pl.pallas_call(
         kernel,
         grid=(nb, nt),
         in_specs=in_specs,
-        out_specs=[_ROW_SPEC(bt), _ROW_SPEC(bt)],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, nb * bt), jnp.float32),
-            jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
         compiler_params=_params(interpret),
         interpret=interpret,
     )(*operands)
-    return t_out.reshape(-1)[:b], idx_out.reshape(-1)[:b]
+    return _near_rows(plan, outs, b)
+
+
+def _attr_out(plan, w, bt, nb):
+    n_attr = 2 if plan.top2 else 1
+    specs = [
+        pl.BlockSpec((w, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        for _ in range(n_attr)
+    ]
+    shapes = [
+        jax.ShapeDtypeStruct((w, nb * bt), jnp.float32) for _ in range(n_attr)
+    ]
+    return specs, shapes
 
 
 def flash_nearest_attrs(feats, tri_feats16, tile_aabbs, attr_split,
                         bt=DEF_BT, interpret=False, precision="auto"):
     """Single-tile nearest hit that also emits the winner's packed attr
     row from inside the kernel (see _winner_attrs) ->
-    (t [B], idx [B] i32, attrs [B, W])."""
+    (t [B], idx [B] i32, attrs [B, W], t2, idx2, attrs2 — the latter
+    three None unless the plan carries top-2 candidates)."""
     precision = resolve_precision(precision, interpret)
     return _flash_nearest_attrs(
         feats, tri_feats16, tile_aabbs, attr_split, bt=bt,
@@ -786,31 +959,29 @@ def _flash_nearest_attrs(
             for _ in range(3)
         ]
     )
-    t_out, idx_out, attr_out = pl.pallas_call(
+    near_specs, near_shapes = _near_out(plan, bt, nb)
+    attr_specs, attr_shapes = _attr_out(plan, w, bt, nb)
+    outs = pl.pallas_call(
         kernel,
         grid=(nb, 1),
         in_specs=in_specs,
-        out_specs=[
-            _ROW_SPEC(bt),
-            _ROW_SPEC(bt),
-            pl.BlockSpec((w, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, nb * bt), jnp.float32),
-            jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),
-            jax.ShapeDtypeStruct((w, nb * bt), jnp.float32),
-        ],
+        out_specs=near_specs + attr_specs,
+        out_shape=near_shapes + attr_shapes,
         compiler_params=_params(interpret),
         interpret=interpret,
     )(feats, *g_ops, parts[0], parts[1], parts[2])
-    return t_out.reshape(-1)[:b], idx_out.reshape(-1)[:b], attr_out[:, :b].T
+    nn = _n_near(plan)
+    t1, i1, t2, i2 = _near_rows(plan, outs[:nn], b)
+    attrs = outs[nn][:, :b].T
+    attrs2 = outs[nn + 1][:, :b].T if plan.top2 else None
+    return t1, i1, attrs, t2, i2, attrs2
 
 
 def flash_nearest_shadow_attrs(feats, shadow_feats, tri_feats16, tile_aabbs,
                                attr_split, bt=DEF_BT, interpret=False,
                                precision="auto"):
     """flash_nearest_shadow + in-kernel winner attr row (single-tile)
-    -> (t, idx, occluded [B] bool, attrs [B, W])."""
+    -> (t, idx, occluded [B] bool, attrs [B, W], t2, idx2, attrs2)."""
     precision = resolve_precision(precision, interpret)
     return _flash_nearest_shadow_attrs(
         feats, shadow_feats, tri_feats16, tile_aabbs, attr_split, bt=bt,
@@ -840,38 +1011,32 @@ def _flash_nearest_shadow_attrs(
             for _ in range(3)
         ]
     )
-    t_out, idx_out, occ_out, attr_out = pl.pallas_call(
+    near_specs, near_shapes = _near_out(plan, bt, nb)
+    attr_specs, attr_shapes = _attr_out(plan, w, bt, nb)
+    outs = pl.pallas_call(
         kernel,
         grid=(nb, 1),
         in_specs=in_specs,
-        out_specs=[
-            _ROW_SPEC(bt),
-            _ROW_SPEC(bt),
-            _ROW_SPEC(bt),
-            pl.BlockSpec((w, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, nb * bt), jnp.float32),
-            jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),
-            jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),
-            jax.ShapeDtypeStruct((w, nb * bt), jnp.float32),
-        ],
+        out_specs=near_specs + [_ROW_SPEC(bt)] + attr_specs,
+        out_shape=near_shapes
+        + [jax.ShapeDtypeStruct((1, nb * bt), jnp.int32)]
+        + attr_shapes,
         compiler_params=_params(interpret),
         interpret=interpret,
     )(feats, shadow_feats, *g_ops, parts[0], parts[1], parts[2])
-    return (
-        t_out.reshape(-1)[:b],
-        idx_out.reshape(-1)[:b],
-        occ_out.reshape(-1)[:b] != 0,
-        attr_out[:, :b].T,
-    )
+    nn = _n_near(plan)
+    t1, i1, t2, i2 = _near_rows(plan, outs[:nn], b)
+    occ = outs[nn].reshape(-1)[:b] != 0
+    attrs = outs[nn + 1][:, :b].T
+    attrs2 = outs[nn + 2][:, :b].T if plan.top2 else None
+    return t1, i1, occ, attrs, t2, i2, attrs2
 
 
 def flash_nearest_shadow(feats, shadow_feats, tri_feats16, tile_aabbs,
                          bt=DEF_BT, interpret=False, precision="auto"):
     """Merged nearest(current rays) + any-hit(previous bounce's shadow
     rays, max_t packed in SH_MAXT_COL) — both ray sets stream the same
-    triangle tiles. Returns (t, idx, occluded [B] bool)."""
+    triangle tiles. Returns (t, idx, occluded [B] bool, t2, idx2)."""
     precision = resolve_precision(precision, interpret)
     return _flash_nearest_shadow(
         feats, shadow_feats, tri_feats16, tile_aabbs, bt=bt,
@@ -900,24 +1065,20 @@ def _flash_nearest_shadow(
     if nt > 1:
         in_specs.append(_AABB_SPEC(nt))
         operands.append(tile_aabbs)
-    t_out, idx_out, occ_out = pl.pallas_call(
+    near_specs, near_shapes = _near_out(plan, bt, nb)
+    outs = pl.pallas_call(
         kernel,
         grid=(nb, nt),
         in_specs=in_specs,
-        out_specs=[_ROW_SPEC(bt), _ROW_SPEC(bt), _ROW_SPEC(bt)],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, nb * bt), jnp.float32),
-            jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),
-            jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),
-        ],
+        out_specs=near_specs + [_ROW_SPEC(bt)],
+        out_shape=near_shapes
+        + [jax.ShapeDtypeStruct((1, nb * bt), jnp.int32)],
         compiler_params=_params(interpret),
         interpret=interpret,
     )(*operands)
-    return (
-        t_out.reshape(-1)[:b],
-        idx_out.reshape(-1)[:b],
-        occ_out.reshape(-1)[:b] != 0,
-    )
+    nn = _n_near(plan)
+    t1, i1, t2, i2 = _near_rows(plan, outs[:nn], b)
+    return t1, i1, outs[nn].reshape(-1)[:b] != 0, t2, i2
 
 
 def flash_occlude_packed(feats, tri_feats16, tile_aabbs, bt=DEF_BT,

@@ -388,6 +388,35 @@ def classify_flash_hit(t_kernel, idx, attrs, ro, rd, trust_kernel: bool = False)
     return TraceResult(jnp.where(hit, t, BIG), idx, hit, backface & hit, u, v)
 
 
+def classify_flash_hit2(t1k, i1, attrs1, t2k, i2, attrs2, ro, rd):
+    """Resolve a top-2 flash winner pair into an exact TraceResult plus
+    the chosen triangle's attr row.
+
+    Both candidates are re-tested in exact f32 (refine_from_attrs) and
+    the nearer VALID one wins — so a noisy-ranked pair (the bf16x3
+    scan's failure mode) still yields the exact nearest hit unless the
+    true winner was ranked third. Falls back to the single-candidate
+    classify when the kernel carried no second candidate."""
+    if t2k is None:
+        return classify_flash_hit(t1k, i1, attrs1, ro, rd), attrs1
+    ta, ua, va, bfa, vala = refine_from_attrs(attrs1, ro, rd)
+    tb, ub, vb, bfb, valb = refine_from_attrs(attrs2, ro, rd)
+    hita = (t1k < BIG) & vala
+    hitb = (t2k < BIG) & valb
+    useb = hitb & (~hita | (tb < ta))
+    hit = hita | hitb
+    t = jnp.where(useb, tb, ta)
+    res = TraceResult(
+        jnp.where(hit, t, BIG),
+        jnp.where(useb, i2, i1),
+        hit,
+        jnp.where(useb, bfb, bfa) & hit,
+        jnp.where(useb, ub, ua),
+        jnp.where(useb, vb, va),
+    )
+    return res, jnp.where(useb[:, None], attrs2, attrs1)
+
+
 def intersect_flash_attrs(scene, ro, rd, interpret: bool = False):
     """Nearest hit via the fused Pallas kernel (ops/flash_intersect.py).
     Returns (TraceResult, attrs [B, ATTR_WIDTH]) — the winning triangle's
@@ -402,7 +431,7 @@ def intersect_flash_attrs(scene, ro, rd, interpret: bool = False):
 
     prec = resolve_precision("auto", interpret)
     if scene.tri_attrs_split is not None:
-        t, idx, attrs = flash_nearest_attrs(
+        t, idx, attrs, t2, i2, attrs2 = flash_nearest_attrs(
             _ray_features16(ro, rd),
             scene.tri_feats16,
             scene.tile_aabbs,
@@ -410,11 +439,8 @@ def intersect_flash_attrs(scene, ro, rd, interpret: bool = False):
             interpret=interpret,
             precision=prec,
         )
-        return (
-            classify_flash_hit(t, idx, attrs, ro, rd, trust_kernel=False),
-            attrs,
-        )
-    t, idx = flash_nearest(
+        return classify_flash_hit2(t, idx, attrs, t2, i2, attrs2, ro, rd)
+    t, idx, t2, i2 = flash_nearest(
         _ray_features16(ro, rd),
         scene.tri_feats16,
         scene.tile_aabbs,
@@ -422,10 +448,8 @@ def intersect_flash_attrs(scene, ro, rd, interpret: bool = False):
         precision=prec,
     )
     attrs = gather_attr_rows(scene, idx)
-    res = classify_flash_hit(
-        t, idx, attrs, ro, rd
-    )
-    return res, attrs
+    attrs2 = None if t2 is None else gather_attr_rows(scene, i2)
+    return classify_flash_hit2(t, idx, attrs, t2, i2, attrs2, ro, rd)
 
 
 def intersect_flash(scene, ro, rd, interpret: bool = False) -> TraceResult:

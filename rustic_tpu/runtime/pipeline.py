@@ -55,6 +55,7 @@ from rustic_tpu.ops.intersect import (
     BIG,
     _ray_features16,
     classify_flash_hit,
+    classify_flash_hit2,
     gather_attr_rows,
 )
 
@@ -242,16 +243,25 @@ def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1):
         # LDS draws are recomputed per stage from (sidx, offsets)
         # instead of carrying the [B, 8*max_bounces] block (see
         # trace.bounce_draws).
-        @functools.partial(jax.jit, donate_argnums=(2, 3, 4, 5, 6, 7))
-        def pre(scene, cam, st, prev_nee, prev_occ, t, idx, attrs, sidx,
-                offsets):
+        @functools.partial(
+            jax.jit, donate_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10)
+        )
+        def pre(scene, cam, st, prev_nee, prev_occ, t, idx, attrs,
+                t2, idx2, attrs2, sidx, offsets):
             if prev_nee is not None:
                 st = trace_mod.bounce_post(st, prev_nee, prev_occ)
             if attrs is None:
                 attrs = gather_attr_rows(scene, idx)
-            res = classify_flash_hit(
-                t, idx, attrs, st.ro, st.rd, trust_kernel=trust_kernel
-            )
+                if t2 is not None:
+                    attrs2 = gather_attr_rows(scene, idx2)
+            if t2 is None and trust_kernel:
+                res = classify_flash_hit(
+                    t, idx, attrs, st.ro, st.rd, trust_kernel=True
+                )
+            else:
+                res, attrs = classify_flash_hit2(
+                    t, idx, attrs, t2, idx2, attrs2, st.ro, st.rd
+                )
             st2, nee_pack = trace_mod.bounce_pre(
                 scene, cfg, cam, bounce, st, res,
                 trace_mod.bounce_draws(bounce, sidx, offsets),
@@ -314,14 +324,20 @@ def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False,
 
     def make_pre(bounce: int, last: bool):
         @jax.jit
-        def pre(scene, cam, st, prev_nee, prev_occ, t, idx, sidx, offsets,
-                lane2px):
+        def pre(scene, cam, st, prev_nee, prev_occ, t, idx, t2, idx2,
+                sidx, offsets, lane2px):
             if prev_nee is not None:
                 st = trace_mod.bounce_post(st, prev_nee, prev_occ)
             attrs = gather_attr_rows(scene, idx)
-            res = classify_flash_hit(
-                t, idx, attrs, st.ro, st.rd, trust_kernel=trust_kernel
-            )
+            attrs2 = None if t2 is None else gather_attr_rows(scene, idx2)
+            if t2 is None and trust_kernel:
+                res = classify_flash_hit(
+                    t, idx, attrs, st.ro, st.rd, trust_kernel=True
+                )
+            else:
+                res, attrs = classify_flash_hit2(
+                    t, idx, attrs, t2, idx2, attrs2, st.ro, st.rd
+                )
             st2, nee_pack = trace_mod.bounce_pre(
                 scene, cfg, cam, bounce, st, res,
                 trace_mod.bounce_draws(bounce, sidx, offsets),
@@ -514,15 +530,15 @@ def render_batch_staged(
         st, feats, sidx = init(cam, pxg, pyg, sample_idx, offg)
         prev_nee = pending_shadow = None
         for bounce in range(cfg.max_bounces):
-            attrs = None
+            attrs = attrs2 = t2 = i2 = None
             if pending_shadow is None:
                 if kattrs is not None:
-                    t, idx, attrs = flash_nearest_attrs(
+                    t, idx, attrs, t2, i2, attrs2 = flash_nearest_attrs(
                         feats, g16, scene.tile_aabbs, kattrs, bt=bt,
                         interpret=interpret, precision=prec,
                     )
                 else:
-                    t, idx = flash_nearest(
+                    t, idx, t2, i2 = flash_nearest(
                         feats, g16, scene.tile_aabbs, bt=bt,
                         interpret=interpret, precision=prec,
                     )
@@ -533,17 +549,21 @@ def render_batch_staged(
                 # triangle tiles, so merging halves the kernel dispatches
                 # and the per-tile VMEM loads.
                 if kattrs is not None:
-                    t, idx, prev_occ, attrs = flash_nearest_shadow_attrs(
-                        feats, pending_shadow, g16, scene.tile_aabbs,
-                        kattrs, bt=bt, interpret=interpret, precision=prec,
+                    t, idx, prev_occ, attrs, t2, i2, attrs2 = (
+                        flash_nearest_shadow_attrs(
+                            feats, pending_shadow, g16, scene.tile_aabbs,
+                            kattrs, bt=bt, interpret=interpret,
+                            precision=prec,
+                        )
                     )
                 else:
-                    t, idx, prev_occ = flash_nearest_shadow(
+                    t, idx, prev_occ, t2, i2 = flash_nearest_shadow(
                         feats, pending_shadow, g16, scene.tile_aabbs,
                         bt=bt, interpret=interpret, precision=prec,
                     )
             st, feats, nee = pres[bounce](
-                scene, cam, st, prev_nee, prev_occ, t, idx, attrs, sidx, offg,
+                scene, cam, st, prev_nee, prev_occ, t, idx, attrs,
+                t2, i2, attrs2, sidx, offg,
             )
             prev_nee = pending_shadow = None
             if nee is not None:
@@ -582,18 +602,18 @@ def _render_batch_sorted(
         prev_nee = pending_shadow = None
         for bounce in range(cfg.max_bounces):
             if pending_shadow is None:
-                t, idx = flash_nearest(
+                t, idx, t2, i2 = flash_nearest(
                     feats, g16, scene.tile_aabbs, bt=bt, interpret=interpret,
                     precision=prec,
                 )
                 prev_occ = None
             else:
-                t, idx, prev_occ = flash_nearest_shadow(
+                t, idx, prev_occ, t2, i2 = flash_nearest_shadow(
                     feats, pending_shadow, g16, scene.tile_aabbs,
                     bt=bt, interpret=interpret, precision=prec,
                 )
             st, feats, nee, sidx, offsets_s, lane2px = pres[bounce](
-                scene, cam, st, prev_nee, prev_occ, t, idx,
+                scene, cam, st, prev_nee, prev_occ, t, idx, t2, i2,
                 sidx, offsets_s, lane2px,
             )
             prev_nee = pending_shadow = None

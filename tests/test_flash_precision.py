@@ -45,11 +45,11 @@ def test_split_bf16_reconstructs_f32():
 def test_bf16x3_nearest_matches_f32(cornell):
     ro, rd = _rays(256, 1)
     feats = _ray_features16(ro, rd)
-    t_f32, idx_f32 = flash_nearest(
+    t_f32, idx_f32, _, _ = flash_nearest(
         feats, cornell.tri_feats16, cornell.tile_aabbs,
         interpret=True, precision="f32",
     )
-    t_b, idx_b = flash_nearest(
+    t_b, idx_b, t_b2, idx_b2 = flash_nearest(
         feats, cornell.tri_feats16, cornell.tile_aabbs,
         interpret=True, precision="bf16x3",
     )
@@ -69,11 +69,11 @@ def test_mixed_nearest_matches_f32_to_the_floor(cornell):
     # bits), so t agrees to 2^-14 relative and the hit mask exactly.
     ro, rd = _rays(256, 2)
     feats = _ray_features16(ro, rd)
-    t_f32, idx_f32 = flash_nearest(
+    t_f32, idx_f32, _, _ = flash_nearest(
         feats, cornell.tri_feats16, cornell.tile_aabbs,
         interpret=True, precision="f32",
     )
-    t_m, idx_m = flash_nearest(
+    t_m, idx_m, _, _ = flash_nearest(
         feats, cornell.tri_feats16, cornell.tile_aabbs,
         interpret=True, precision="mixed",
     )
@@ -113,11 +113,11 @@ def test_nearest_shadow_mixed_matches_components(cornell):
     sh_ro, sh_rd = _rays(256, 5)
     shadow = _ray_features16(sh_ro, sh_rd)
     shadow = shadow.at[:, 10].set(2.0)
-    t_m, idx_m, occ_m = flash_nearest_shadow(
+    t_m, idx_m, occ_m, _, _ = flash_nearest_shadow(
         feats, shadow, cornell.tri_feats16, cornell.tile_aabbs,
         interpret=True, precision="mixed",
     )
-    t_f, idx_f = flash_nearest(
+    t_f, idx_f, _, _ = flash_nearest(
         feats, cornell.tri_feats16, cornell.tile_aabbs,
         interpret=True, precision="mixed",
     )
@@ -130,3 +130,135 @@ def test_nearest_shadow_mixed_matches_components(cornell):
         )
     )
     np.testing.assert_array_equal(np.asarray(occ_m), occ_b)
+
+
+# ---------------------------------------------------------------------------
+# top-2 winner carry (bf16x3 plans)
+# ---------------------------------------------------------------------------
+
+
+def test_top2_pair_invariants(cornell):
+    ro, rd = _rays(512, 7)
+    feats = _ray_features16(ro, rd)
+    t1, i1, t2, i2 = flash_nearest(
+        feats, cornell.tri_feats16, cornell.tile_aabbs,
+        interpret=True, precision="bf16x3",
+    )
+    t1, i1, t2, i2 = map(np.asarray, (t1, i1, t2, i2))
+    # second candidate is never nearer than the first
+    assert np.all(t2 >= t1)
+    # a second candidate implies a first
+    assert np.all((t2 >= BIG) | (t1 < BIG))
+    # where both exist they are distinct triangles
+    both = t2 < BIG
+    assert np.all(i1[both] != i2[both])
+
+
+def test_top2_mixed_and_f32_carry_none(cornell):
+    ro, rd = _rays(64, 8)
+    feats = _ray_features16(ro, rd)
+    for prec in ("f32", "mixed"):
+        t1, i1, t2, i2 = flash_nearest(
+            feats, cornell.tri_feats16, cornell.tile_aabbs,
+            interpret=True, precision=prec,
+        )
+        assert t2 is None and i2 is None
+
+
+def test_top2_near_tie_resolves_exactly():
+    """Adversarial near-tie geometry: pairs of parallel triangles whose
+    t separation sits inside the bf16x3 dot's noise window. The noisy
+    scan may rank them either way; the top-2 carry + exact dual re-test
+    (classify_flash_hit2) must still return the exact brute winner."""
+    from rustic_tpu.ops import intersect as I
+    from rustic_tpu.ops.flash_intersect import pack_tri_feats16
+    from rustic_tpu.ops.intersect import classify_flash_hit2
+    from rustic_tpu.scene.world import _triangle_features
+
+    rng = np.random.default_rng(11)
+    n_pairs = 128
+    verts, tris = [], []
+    ro_l, rd_l = [], []
+    for k in range(n_pairs):
+        # pair of big triangles normal +z at z ~ cell, dt within noise
+        cx, cy = (k % 16) * 10.0, (k // 16) * 10.0
+        z = 1.0 + rng.uniform(0, 0.5)
+        dt = rng.uniform(1e-6, 2e-5) * (1 if k % 2 == 0 else -1)
+        for dz in (0.0, dt):
+            b = len(verts)
+            verts += [
+                [cx - 2, cy - 2, z + dz],
+                [cx + 2, cy - 2, z + dz],
+                [cx, cy + 2, z + dz],
+            ]
+            tris.append([b, b + 1, b + 2])
+        # slightly tilted ray through the pair (generic, not axis-exact)
+        d = np.array([rng.uniform(-0.1, 0.1), rng.uniform(-0.1, 0.1), 1.0])
+        d /= np.linalg.norm(d)
+        ro_l.append([cx + rng.uniform(-0.5, 0.5), cy + rng.uniform(-0.5, 0.5), 0.0])
+        rd_l.append(d)
+    verts = np.asarray(verts, np.float32)
+    tris_np = np.asarray(tris, np.int64)
+    tf = _triangle_features(verts, tris_np)
+    g16 = jnp.asarray(pack_tri_feats16(tf))
+    aabbs = jnp.zeros((1, 8), jnp.float32)
+    ro = jnp.asarray(np.asarray(ro_l, np.float32))
+    rd = jnp.asarray(np.asarray(rd_l, np.float32))
+    feats = _ray_features16(ro, rd)
+
+    t1, i1, t2, i2 = flash_nearest(
+        feats, g16, aabbs, interpret=True, precision="bf16x3"
+    )
+    # attr rows only need the vertex columns for the exact re-test
+    table = np.zeros((len(tris_np), 9), np.float32)
+    for j, (a, b, c) in enumerate(tris_np):
+        table[j] = np.concatenate([verts[a], verts[b], verts[c]])
+    table = jnp.asarray(table)
+    res, _ = classify_flash_hit2(
+        t1, i1, table[i1], t2, i2, table[i2], ro, rd
+    )
+
+    brute = I.intersect_brute(jnp.asarray(tf), ro, rd)
+    np.testing.assert_array_equal(np.asarray(res.hit), np.asarray(brute.hit))
+    hit = np.asarray(brute.hit)
+    np.testing.assert_array_equal(
+        np.asarray(res.tri_idx)[hit], np.asarray(brute.tri_idx)[hit]
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.t)[hit], np.asarray(brute.t)[hit], rtol=1e-6
+    )
+
+
+def test_top2_multitile_merge(furnace_scene):
+    """Multi-tile (21-tile) scene: the cross-tile top-2 merge + t2 cull
+    limit must agree with brute after the exact dual re-test, except
+    for rays whose true winner was ranked third (vanishingly rare)."""
+    from rustic_tpu.ops import intersect as I
+    from rustic_tpu.ops.intersect import classify_flash_hit2, gather_attr_rows
+
+    scene = furnace_scene
+    rng = np.random.default_rng(13)
+    n = 512
+    ro = jnp.asarray(rng.normal(0, 0.5, (n, 3)).astype(np.float32))
+    rd = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    rd = jnp.asarray(rd)
+    feats = _ray_features16(ro, rd)
+    t1, i1, t2, i2 = flash_nearest(
+        feats, scene.tri_feats16, scene.tile_aabbs,
+        interpret=True, precision="bf16x3",
+    )
+    assert t2 is not None
+    assert np.all(np.asarray(t2) >= np.asarray(t1))
+    res, _ = classify_flash_hit2(
+        t1, i1, gather_attr_rows(scene, i1), t2, i2,
+        gather_attr_rows(scene, i2), ro, rd,
+    )
+    brute = I.intersect_brute(scene.tri_feats, ro, rd)
+    hit_match = np.asarray(res.hit) == np.asarray(brute.hit)
+    assert np.mean(~hit_match) < 0.01
+    both = np.asarray(res.hit) & np.asarray(brute.hit)
+    t_ok = np.isclose(
+        np.asarray(res.t)[both], np.asarray(brute.t)[both], rtol=1e-5
+    )
+    assert np.mean(~t_ok) < 0.01
