@@ -64,7 +64,10 @@ from rustic_tpu.ops.intersect import (
 # every per-lane carry into wide [B, ~130-200] permute intermediates,
 # so its HBM footprint per lane is several times the unsorted path's —
 # observed RESOURCE_EXHAUSTED at 1.18M sorted lanes (fold 8 x 147k px).
-_FOLD_MAX_LANES = 1 << 21  # unsorted (~2M paths)
+# Unsorted budget measured on v5e (DarkCornell 1280x720x160spp):
+# fold 2 -> 7.9, fold 4 -> 8.7-9.1, fold 8 -> 8.1 Mpaths/s, so the
+# budget admits fold 4 at megabatch sizes and no more.
+_FOLD_MAX_LANES = 1 << 22  # unsorted (~4M paths -> fold 4 at 1M px)
 _FOLD_MAX_LANES_SORTED = 1 << 19
 
 
@@ -72,12 +75,18 @@ _FOLD_MAX_LANES_SORTED = 1 << 19
 # the tunnel runtime otherwise accumulates every queued group's
 # intermediates in HBM (observed: RESOURCE_EXHAUSTED at 256 spp x 1.18M
 # lanes on the sorted path). A sync every few groups bounds live memory
-# while keeping enough dispatch depth to hide host latency.
-_THROTTLE_GROUPS = int(os.environ.get("RUSTIC_QUEUE_GROUPS", "4"))
+# while keeping enough dispatch depth to hide host latency. The sorted
+# path's fatter per-lane footprint gets the tighter bound; the unsorted
+# depth is measured (queue 4 -> 8.67, 8 -> 9.11, 16 -> 9.04 Mpaths/s).
+_THROTTLE_GROUPS = int(os.environ.get("RUSTIC_QUEUE_GROUPS", "8"))
+_THROTTLE_GROUPS_SORTED = int(
+    os.environ.get("RUSTIC_QUEUE_GROUPS_SORTED", "4")
+)
 
 
-def _throttle(film, group_index: int):
-    if _THROTTLE_GROUPS > 0 and (group_index + 1) % _THROTTLE_GROUPS == 0:
+def _throttle(film, group_index: int, groups: int = None):
+    limit = _THROTTLE_GROUPS if groups is None else groups
+    if limit > 0 and (group_index + 1) % limit == 0:
         # np.asarray on a tiny slice forces execution of the whole queued
         # chain (jax.block_until_ready can return early on axon)
         np.asarray(film[:1])
@@ -629,5 +638,5 @@ def _render_batch_sorted(
                 != 0
             )
         film = finish(st, prev_nee, final_occ, film, lane2px)
-        _throttle(film, k // fold)
+        _throttle(film, k // fold, _THROTTLE_GROUPS_SORTED)
     return film

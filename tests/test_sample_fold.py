@@ -42,8 +42,8 @@ def _render(world, n_px=64, spp=4, sample_start=0):
 
 def test_pick_sample_fold_budget(monkeypatch):
     monkeypatch.delenv("RUSTIC_SAMPLE_FOLD", raising=False)
-    assert P.pick_sample_fold(1 << 21, 100) == 1
-    assert P.pick_sample_fold(1 << 20, 100) == 2
+    assert P.pick_sample_fold(1 << 22, 100) == 1
+    assert P.pick_sample_fold(1 << 20, 100) == 4
     assert P.pick_sample_fold(1 << 18, 100) == 8  # capped at 8
     assert P.pick_sample_fold(1 << 18, 3) == 3  # capped by samples
     monkeypatch.setenv("RUSTIC_SAMPLE_FOLD", "4")
