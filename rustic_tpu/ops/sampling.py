@@ -15,12 +15,19 @@ PI = float(jnp.pi)  # plain float: array constants cannot be captured by kernels
 
 
 def dot(a, b):
-    return jnp.sum(a * b, axis=-1)
+    # Unrolled over the 3 components instead of jnp.sum(a*b, -1): the
+    # reduce op splits the enclosing elementwise fusion on TPU (each
+    # shade stage showed ~8 separate multiply_reduce fusions, 0.2-0.6 ms
+    # apiece at 1.84M lanes); slices + adds fuse through. Association
+    # matches the reduction's ((a0b0 + a1b1) + a2b2).
+    return (
+        a[..., 0] * b[..., 0] + a[..., 1] * b[..., 1]
+    ) + a[..., 2] * b[..., 2]
 
 
 def dotk(a, b):
     """Dot product, keepdims — convenient for broadcasting against [...,3]."""
-    return jnp.sum(a * b, axis=-1, keepdims=True)
+    return dot(a, b)[..., None]
 
 
 def cross(a, b):
@@ -33,7 +40,7 @@ def cross(a, b):
 
 
 def length(v):
-    return jnp.sqrt(jnp.sum(v * v, axis=-1))
+    return jnp.sqrt(dot(v, v))
 
 
 def normalize(v, eps: float = 1e-20):
