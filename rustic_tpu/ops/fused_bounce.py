@@ -47,22 +47,20 @@ from rustic_tpu.ops.skybox import procedural_sky
 from rustic_tpu.scene import world as W
 
 # ---- packed path-state layout (f32 columns) --------------------------------
+# The MIS bookkeeping rides as the pre-reduced 6-column carry
+# (ops/nee.py MISCarry) instead of the full 22-column light+BSDF pair —
+# see ops/trace.py TraceState.
 ST_THROUGHPUT = slice(0, 3)
 ST_RADIANCE = slice(3, 6)
 ST_ALIVE = 6
 ST_LAST_DIFFUSE = 7
-ST_LAST_PDF = 8
-ST_LAST_SPECTRUM = slice(9, 12)
-ST_LAST_DIR = slice(12, 15)
-ST_LL_AREA = 15
-ST_LL_NORMAL = slice(16, 19)
-ST_LL_PICK_PDF = 19
-ST_LL_EMISSION = slice(20, 23)
-ST_LL_TRI = 23
-ST_LL_THROUGHPUT = slice(24, 27)
-ST_PEND_CONTRIB = slice(27, 30)
-ST_PEND_ELIGIBLE = 30
-STATE_WIDTH = 32
+ST_MIS_PDF = 8
+ST_MIS_VEC = slice(9, 12)
+ST_MIS_AC = 12
+ST_MIS_TRI = 13
+ST_PEND_CONTRIB = slice(14, 17)
+ST_PEND_ELIGIBLE = 17
+STATE_WIDTH = 24  # 18 used + pad to a sublane multiple
 
 SH_MAXT_COL = 10  # shadow-ray max_t rides in a spare feature column
 
@@ -79,7 +77,6 @@ def init_packed_state(batch: int) -> jnp.ndarray:
     out = jnp.zeros((batch, STATE_WIDTH), jnp.float32)
     out = out.at[:, ST_THROUGHPUT].set(1.0)
     out = out.at[:, ST_ALIVE].set(1.0)
-    out = out.at[:, ST_LAST_PDF].set(1.0)
     return out
 
 
@@ -173,22 +170,15 @@ def shade_tile(
     )
     if nee.uses_mis:
         mis_mask = front_emis & ~add_direct & last_diffuse
-        last_light = nee_mod.DirectLightSample(
-            light_area=state[:, ST_LL_AREA],
-            light_normal=state[:, ST_LL_NORMAL],
-            light_pick_pdf=state[:, ST_LL_PICK_PDF],
-            light_emission=state[:, ST_LL_EMISSION],
-            light_triangle_index=state[:, ST_LL_TRI].astype(jnp.int32),
-            throughput=state[:, ST_LL_THROUGHPUT],
-            contribution=jnp.zeros((batch, 3), jnp.float32),
-        )
-        mis_contrib = nee_mod.bsdf_mis_contribution(
+        mis_contrib = nee_mod.mis_carry_contribution(
             idx,
             t,
-            state[:, ST_LAST_PDF],
-            state[:, ST_LAST_SPECTRUM],
-            state[:, ST_LAST_DIR],
-            last_light,
+            nee_mod.MISCarry(
+                vec=state[:, ST_MIS_VEC],
+                area_cos=state[:, ST_MIS_AC],
+                pdf=state[:, ST_MIS_PDF],
+                tri=state[:, ST_MIS_TRI].astype(jnp.int32),
+            ),
         )
         radiance = radiance + jnp.where(
             s.expand_mask(mis_mask), s.mask_nan(mis_contrib), 0.0
@@ -233,12 +223,10 @@ def shade_tile(
     sampled_diffuse = bs.lobe == bsdf_mod.LOBE_DIFFUSE
 
     # ---- NEE candidate ------------------------------------------------------
-    ll_area = state[:, ST_LL_AREA]
-    ll_normal = state[:, ST_LL_NORMAL]
-    ll_pick_pdf = state[:, ST_LL_PICK_PDF]
-    ll_emission = state[:, ST_LL_EMISSION]
-    ll_tri = state[:, ST_LL_TRI]
-    ll_throughput = state[:, ST_LL_THROUGHPUT]
+    mis_pdf = state[:, ST_MIS_PDF]
+    mis_vec = state[:, ST_MIS_VEC]
+    mis_ac = state[:, ST_MIS_AC]
+    mis_tri = state[:, ST_MIS_TRI]
     pend_contrib = jnp.zeros((batch, 3), jnp.float32)
     pend_eligible = jnp.zeros(batch, jnp.float32)
     shadow_feats = jnp.zeros((batch, 16), jnp.float32)
@@ -285,14 +273,17 @@ def shade_tile(
 
         # carry for next-bounce MIS (recorded regardless of visibility)
         sel = s.expand_mask(eligible)
-        ll_area = jnp.where(eligible, light["area"], ll_area)
-        ll_normal = jnp.where(sel, light["normal"], ll_normal)
-        ll_pick_pdf = jnp.where(eligible, light["pdf"], ll_pick_pdf)
-        ll_emission = jnp.where(sel, light["emission"], ll_emission)
-        ll_tri = jnp.where(
-            eligible, light["tri_idx"].astype(jnp.float32), ll_tri
+        carry = nee_mod.make_mis_carry(
+            throughput, bs.pdf, bs.spectrum, bs.direction,
+            light["area"], light["normal"], light["pdf"],
+            light["emission"], light["tri_idx"],
         )
-        ll_throughput = jnp.where(sel, throughput, ll_throughput)
+        mis_pdf = jnp.where(eligible, carry.pdf, mis_pdf)
+        mis_vec = jnp.where(sel, carry.vec, mis_vec)
+        mis_ac = jnp.where(eligible, carry.area_cos, mis_ac)
+        mis_tri = jnp.where(
+            eligible, carry.tri.astype(jnp.float32), mis_tri
+        )
         pend_contrib = throughput * direct
         pend_eligible = (eligible & geom_ok).astype(jnp.float32)
         sh_ro = hit_pos + light_dir * s.EPS
@@ -339,18 +330,13 @@ def shade_tile(
                 sampled_diffuse.astype(jnp.float32),
                 last_diffuse.astype(jnp.float32),
             )[:, None],
-            jnp.where(shade, bs.pdf, state[:, ST_LAST_PDF])[:, None],  # 8
-            jnp.where(s.expand_mask(shade), bs.spectrum, state[:, ST_LAST_SPECTRUM]),
-            jnp.where(s.expand_mask(shade), bs.direction, state[:, ST_LAST_DIR]),
-            ll_area[:, None],  # 15
-            ll_normal,  # 16:19
-            ll_pick_pdf[:, None],  # 19
-            ll_emission,  # 20:23
-            ll_tri[:, None],  # 23
-            ll_throughput,  # 24:27
-            pend_contrib,  # 27:30
-            pend_eligible[:, None],  # 30 (already float)
-            jnp.zeros((batch, 1), jnp.float32),  # 31 pad
+            mis_pdf[:, None],  # 8
+            mis_vec,  # 9:12
+            mis_ac[:, None],  # 12
+            mis_tri[:, None],  # 13
+            pend_contrib,  # 14:17
+            pend_eligible[:, None],  # 17 (already float)
+            jnp.zeros((batch, STATE_WIDTH - 18), jnp.float32),  # pad
         ],
         axis=-1,
     )

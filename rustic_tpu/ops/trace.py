@@ -50,6 +50,14 @@ _AA_DIMS = 2
 
 
 class TraceState(NamedTuple):
+    """Per-lane carry between bounces. Kept deliberately slim: in the
+    staged pipeline every field is HBM traffic at each executable
+    boundary, so the MIS bookkeeping rides as the pre-reduced 6-column
+    MISCarry instead of the reference's full light+BSDF sample pair
+    (see ops/nee.py MISCarry). The continuation direction needs no
+    slot of its own — it IS `rd` (both are set to the BSDF-sampled
+    direction under the same mask)."""
+
     ro: jnp.ndarray  # [B, 3]
     rd: jnp.ndarray  # [B, 3]
     throughput: jnp.ndarray  # [B, 3]
@@ -57,10 +65,7 @@ class TraceState(NamedTuple):
     alive: jnp.ndarray  # [B] bool
     missed: jnp.ndarray  # [B] bool — escaped the scene (sky owed, see bounce_pre)
     last_lobe_diffuse: jnp.ndarray  # [B] bool
-    last_pdf: jnp.ndarray  # [B]
-    last_spectrum: jnp.ndarray  # [B, 3]
-    last_direction: jnp.ndarray  # [B, 3]
-    last_light: nee_mod.DirectLightSample
+    mis: nee_mod.MISCarry
 
 
 class NEEPack(NamedTuple):
@@ -145,10 +150,7 @@ def init_state(
         alive=jnp.ones(batch, bool),
         missed=jnp.zeros(batch, bool),
         last_lobe_diffuse=jnp.zeros(batch, bool),
-        last_pdf=jnp.ones(batch, jnp.float32),
-        last_spectrum=jnp.zeros((batch, 3), jnp.float32),
-        last_direction=rd,
-        last_light=nee_mod.DirectLightSample.zeros(batch),
+        mis=nee_mod.MISCarry.zeros(batch),
     )
 
 
@@ -231,14 +233,7 @@ def bounce_pre(
     )
     if nee.uses_mis:
         mis_mask = front_emis & ~add_direct & st.last_lobe_diffuse
-        mis_contrib = nee_mod.bsdf_mis_contribution(
-            res.tri_idx,
-            res.t,
-            st.last_pdf,
-            st.last_spectrum,
-            st.last_direction,
-            st.last_light,
-        )
+        mis_contrib = nee_mod.mis_carry_contribution(res.tri_idx, res.t, st.mis)
         radiance = radiance + jnp.where(
             mis_mask[..., None], s.mask_nan(mis_contrib), 0.0
         )
@@ -304,7 +299,7 @@ def bounce_pre(
 
     # ---- NEE candidate on diffuse lobes (kernels/src/lib.rs:148-165) -------
     nee_pack = None
-    last_light = st.last_light
+    mis_carry = st.mis
     if uses_nee:
         rn = tuple(draws[:, 3 + k] for k in range(4))
         dls, shadow = nee_mod.prepare_direct_lighting(
@@ -313,8 +308,16 @@ def bounce_pre(
         eligible = shade & sampled_diffuse
         # the carry for next-bounce MIS is recorded regardless of
         # visibility (matches the reference: last_light_sample is
-        # whatever sample_direct_lighting produced)
-        last_light = _where_tuple(eligible, dls, st.last_light)
+        # whatever sample_direct_lighting produced). Only eligible
+        # (diffuse-shaded) lanes record, which is exactly the set whose
+        # carry can ever be consumed (mis_mask requires
+        # last_lobe_diffuse, set this same bounce).
+        carry = nee_mod.make_mis_carry(
+            throughput, bs.pdf, bs.spectrum, bs.direction,
+            dls.light_area, dls.light_normal, dls.light_pick_pdf,
+            dls.light_emission, dls.light_triangle_index,
+        )
+        mis_carry = _where_tuple(eligible, carry, st.mis)
         nee_pack = NEEPack(
             shadow_ro=shadow[0],
             shadow_rd=shadow[1],
@@ -365,10 +368,7 @@ def bounce_pre(
         alive=alive,
         missed=missed,
         last_lobe_diffuse=jnp.where(shade, sampled_diffuse, st.last_lobe_diffuse),
-        last_pdf=jnp.where(shade, bs.pdf, st.last_pdf),
-        last_spectrum=jnp.where(shade[..., None], bs.spectrum, st.last_spectrum),
-        last_direction=jnp.where(shade[..., None], bs.direction, st.last_direction),
-        last_light=last_light,
+        mis=mis_carry,
     )
     return st, nee_pack
 

@@ -16,7 +16,7 @@ from rustic_tpu.runtime import pipeline as P
 
 
 def _fake_state(n, rng):
-    from rustic_tpu.ops.nee import DirectLightSample
+    from rustic_tpu.ops.nee import MISCarry
     from rustic_tpu.ops.trace import TraceState
 
     f = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
@@ -28,19 +28,11 @@ def _fake_state(n, rng):
         alive=jnp.asarray(rng.random(n) > 0.3),
         missed=jnp.asarray(rng.random(n) > 0.7),
         last_lobe_diffuse=jnp.asarray(rng.random(n) > 0.5),
-        last_pdf=f(n),
-        last_spectrum=f(n, 3),
-        last_direction=f(n, 3),
-        last_light=DirectLightSample(
-            light_area=f(n),
-            light_normal=f(n, 3),
-            light_pick_pdf=f(n),
-            light_emission=f(n, 3),
-            light_triangle_index=jnp.asarray(
-                rng.integers(0, 30000, n), jnp.int32
-            ),
-            throughput=f(n, 3),
-            contribution=f(n, 3),
+        mis=MISCarry(
+            vec=f(n, 3),
+            area_cos=f(n),
+            pdf=f(n),
+            tri=jnp.asarray(rng.integers(0, 30000, n), jnp.int32),
         ),
     )
 
