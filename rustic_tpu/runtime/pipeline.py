@@ -243,7 +243,14 @@ def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1):
     def init(cam, px, py, sample_idx, offsets):
         sidx = _fold_sample_idx(sample_idx, px.shape[0], fold)
         st = trace_mod.init_state(cfg, cam, px, py, sidx, offsets)
-        return st, _ray_features16(st.ro, st.rd), sidx
+        feats = _ray_features16(st.ro, st.rd)
+        # ro/rd ride ONLY in the packed ray features between stages
+        # (feats cols 6:9 / 0:3 hold them verbatim); carrying them in
+        # TraceState too would write the same 6 f32 columns twice per
+        # boundary. Dead lanes' features stay frozen at their last rays
+        # (no sentinels on this path), so the deferred sky still sees
+        # the miss-time ray bit-exactly.
+        return st._replace(ro=None, rd=None), feats, sidx
 
     def make_pre(bounce: int, last: bool):
         # Donate the per-bounce state and the kernel outputs: every one
@@ -253,10 +260,11 @@ def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1):
         # instead of carrying the [B, 8*max_bounces] block (see
         # trace.bounce_draws).
         @functools.partial(
-            jax.jit, donate_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10)
+            jax.jit, donate_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
         )
-        def pre(scene, cam, st, prev_nee, prev_occ, t, idx, attrs,
+        def pre(scene, cam, st, feats, prev_nee, prev_occ, t, idx, attrs,
                 t2, idx2, attrs2, sidx, offsets):
+            st = st._replace(ro=feats[:, 6:9], rd=feats[:, 0:3])
             if prev_nee is not None:
                 st = trace_mod.bounce_post(st, prev_nee, prev_occ)
             if attrs is None:
@@ -288,6 +296,7 @@ def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1):
                 slim = (nee_pack.eligible, nee_pack.contribution)
                 return st2.radiance, None, (slim, shadow_feats)
             next_feats = _ray_features16(st2.ro, st2.rd)
+            st2 = st2._replace(ro=None, rd=None)  # ride in next_feats only
             if nee_pack is None:
                 return st2, next_feats, None
             # Shadow max_t rides in the spare feature column 10 so the
@@ -311,15 +320,35 @@ def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1):
     return init, pres, finish
 
 
-@functools.lru_cache(maxsize=16)
+@functools.lru_cache(maxsize=32)
 def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False,
-                   fold: int = 1):
+                   fold: int = 1, schedule: Optional[tuple] = None):
     """Variant of _stages that re-sorts paths by origin locality after
     every shade, so ray blocks stay coherent and the flash kernels' tile
     culling prunes on secondary bounces too. The film sum becomes a
     scatter-add over the carried lane->pixel map (with `fold` > 1 the
     map carries each lane's *pixel* index — samples collide there and
-    the scatter-add accumulates them)."""
+    the scatter-add accumulates them).
+
+    `schedule` enables PATH COMPACTION (the wavefront analog of the
+    reference's per-pixel loop simply exiting, kernels/src/lib.rs:62-186
+    — a dead SIMT thread costs nothing there, but a dead TPU lane rides
+    every later stage at full price): schedule[b] is the static lane
+    count kept after bounce b's shade. The sort already places droppable
+    lanes last, so compaction is a head slice; the dropped tail's
+    radiance (plus its owed deferred-sky term) is scatter-added into the
+    film right there. A lane is droppable once it is neither alive nor
+    owed a shadow-visibility result for this bounce's NEE sample — a
+    roulette-killed lane still carries its direct-light candidate to the
+    next kernel, so it must survive one more stage. Schedules come from
+    measuring group 0 (see _render_batch_sorted); if the measurement
+    under-predicted, the stage raises an overflow flag (an undroppable
+    lane in the dropped tail) and the driver re-renders that window
+    uncompacted — compaction is an optimization, never a bias.
+
+    With a schedule, each pre additionally threads (film, oflow);
+    without one, each non-final pre returns its keep count so the
+    driver can measure a schedule from the first sample group."""
 
     @jax.jit
     def init(cam, px, py, sample_idx, offsets):
@@ -332,9 +361,11 @@ def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False,
         return st, _ray_features16(st.ro, st.rd), sidx, lane2px
 
     def make_pre(bounce: int, last: bool):
+        k_out = None if (last or schedule is None) else schedule[bounce]
+
         @jax.jit
         def pre(scene, cam, st, prev_nee, prev_occ, t, idx, t2, idx2,
-                sidx, offsets, lane2px):
+                sidx, offsets, lane2px, film=None, oflow=None):
             if prev_nee is not None:
                 st = trace_mod.bounce_post(st, prev_nee, prev_occ)
             attrs = gather_attr_rows(scene, idx)
@@ -356,36 +387,77 @@ def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False,
                 # See _stages.make_pre: only finish's inputs are
                 # returned so the untraced continuation is DCE'd.
                 if nee_pack is None:
-                    return st2.radiance, None, None, None, None, lane2px
-                shadow_feats = _sentinel_feats(
-                    _shadow_feats16(nee_pack), ~nee_pack.eligible
-                )
-                slim = (nee_pack.eligible, nee_pack.contribution)
-                return (
-                    st2.radiance, None, (slim, shadow_feats), None, None,
-                    lane2px,
-                )
+                    out = (st2.radiance, None, None, None, None, lane2px)
+                else:
+                    shadow_feats = _sentinel_feats(
+                        _shadow_feats16(nee_pack), ~nee_pack.eligible
+                    )
+                    slim = (nee_pack.eligible, nee_pack.contribution)
+                    out = (
+                        st2.radiance, None, (slim, shadow_feats), None,
+                        None, lane2px,
+                    )
+                return out + ((film, oflow) if schedule is not None else ())
             next_feats = _sentinel_feats(
                 _ray_features16(st2.ro, st2.rd), ~st2.alive
             )
             shadow_feats = None
+            keep = st2.alive
             if nee_pack is not None:
                 shadow_feats = _sentinel_feats(
                     _shadow_feats16(nee_pack), ~nee_pack.eligible
                 )
-            perm = _sort_perm(scene, st2, ~st2.alive)
-            st2, nee_pack, next_feats, shadow_feats, sidx, offsets, lane2px = (
+                keep = keep | nee_pack.eligible
+            # Droppable lanes (not `keep`) sort last so a compacted head
+            # slice keeps every lane that still owes work.
+            perm = _sort_perm(scene, st2, ~keep)
+            st2, nee_pack, next_feats, shadow_feats, sidx, offsets, lane2px, keep = (
                 _permute_lanes(
                     perm,
                     (st2, nee_pack, next_feats, shadow_feats, sidx, offsets,
-                     lane2px),
+                     lane2px, keep),
                 )
             )
-            if nee_pack is None:
-                return st2, next_feats, None, sidx, offsets, lane2px
+            if k_out is not None and k_out < st2.alive.shape[0]:
+                # ---- compaction: fold the dropped tail into the film.
+                # A dropped missed lane is still owed its deferred sky
+                # term (trace.bounce_pre defers the atmosphere march to
+                # the final bounce, which the lane will never reach).
+                t_rad = st2.radiance[k_out:]
+                t_missed = st2.missed[k_out:]
+                sky = jax.lax.cond(
+                    jnp.any(t_missed),
+                    lambda: trace_mod.sky_radiance(
+                        scene, cfg.has_skybox, cam.sun_direction,
+                        st2.ro[k_out:], st2.rd[k_out:],
+                    ),
+                    lambda: jnp.zeros((t_rad.shape[0], 3), jnp.float32),
+                )
+                t_rad = t_rad + jnp.where(
+                    t_missed[:, None], st2.throughput[k_out:] * sky, 0.0
+                )
+                film = film.at[lane2px[k_out:]].add(t_rad)
+                oflow = oflow | jnp.any(keep[k_out:])
+                head = lambda a: a[:k_out]
+                st2 = jax.tree_util.tree_map(head, st2)
+                nee_pack = jax.tree_util.tree_map(head, nee_pack)
+                next_feats = head(next_feats)
+                if shadow_feats is not None:
+                    shadow_feats = head(shadow_feats)
+                sidx, offsets, lane2px = (
+                    head(sidx), head(offsets), head(lane2px)
+                )
+            n_keep = jnp.sum(keep.astype(jnp.int32))
+            nee_out = (
+                None if nee_pack is None else (nee_pack, shadow_feats)
+            )
+            if schedule is not None:
+                return (
+                    st2, next_feats, nee_out, sidx, offsets, lane2px,
+                    film, oflow,
+                )
             return (
-                st2, next_feats, (nee_pack, shadow_feats), sidx, offsets,
-                lane2px,
+                st2, next_feats, nee_out, sidx, offsets, lane2px, n_keep,
             )
 
         return pre
@@ -571,7 +643,7 @@ def render_batch_staged(
                         bt=bt, interpret=interpret, precision=prec,
                     )
             st, feats, nee = pres[bounce](
-                scene, cam, st, prev_nee, prev_occ, t, idx, attrs,
+                scene, cam, st, feats, prev_nee, prev_occ, t, idx, attrs,
                 t2, i2, attrs2, sidx, offg,
             )
             prev_nee = pending_shadow = None
@@ -591,17 +663,51 @@ def render_batch_staged(
     return film
 
 
+def _quantize_schedule(counts, lanes: int, bt: int):
+    """Static per-bounce keep-lane counts from measured keep counts.
+
+    Quantized to a coarse power-of-two grid (each level a bt multiple)
+    so only a handful of kernel/stage shapes ever compile, with a 10%
+    + one-block safety margin over the measurement; overflow beyond the
+    margin is detected at run time and the window re-rendered. Returns
+    None when compaction would not drop at least half the lanes
+    anywhere (not worth the extra executables)."""
+    levels = sorted(
+        min(lanes, -(-(lanes // d) // bt) * bt) for d in (1, 2, 4, 8, 16, 32)
+    )
+    ks = []
+    for c in counts:
+        need = int(c * 1.10) + bt
+        ks.append(next((lv for lv in levels if lv >= need), lanes))
+    for i in range(1, len(ks)):  # keep-set only shrinks
+        ks[i] = min(ks[i], ks[i - 1])
+    if min(ks) > lanes // 2:
+        return None
+    return tuple(ks)
+
+
 def _render_batch_sorted(
     scene, cfg, cam, px, py, offsets, sample_start, n_samples, film,
     bt, interpret, prec,
 ):
-    """Staged driver with per-bounce path re-sorting (see _stages_sorted)."""
+    """Staged driver with per-bounce path re-sorting and compaction.
+
+    Group 0 runs uncompacted and measures per-bounce keep counts; the
+    measured (quantized) schedule then compacts every following group.
+    Compacted groups accumulate into a side film with an overflow flag;
+    every _THROTTLE_GROUPS_SORTED groups the flag is read back at the
+    throttle sync — clean windows merge into the main film, overflowed
+    windows (schedule under-predicted: possible but ~never, the margin
+    is ~100 sigma of the binomial lane-count noise) are re-rendered
+    uncompacted, so compaction can never bias the image."""
     g16 = scene.tri_feats16
     fold = pick_sample_fold(px.shape[0], n_samples, sorted_path=True)
     tiled = _tile_inputs((px, py, offsets), fold)
-    for k in range(0, n_samples, fold):
-        g = min(fold, n_samples - k)
-        init, pres, finish = _stages_sorted(cfg, fold=g)
+
+    def run_group(k, g, schedule, film_in, oflow):
+        """One fold-group of g samples; returns the updated film
+        (+ oflow and per-bounce keep counts in the respective modes)."""
+        init, pres, finish = _stages_sorted(cfg, fold=g, schedule=schedule)
         pxg, pyg, offg = (
             tiled if g == fold else _tile_inputs((px, py, offsets), g)
         )
@@ -609,6 +715,7 @@ def _render_batch_sorted(
         st, feats, sidx, lane2px = init(cam, pxg, pyg, sample_idx, offg)
         offsets_s = offg
         prev_nee = pending_shadow = None
+        counts = []
         for bounce in range(cfg.max_bounces):
             if pending_shadow is None:
                 t, idx, t2, i2 = flash_nearest(
@@ -621,10 +728,19 @@ def _render_batch_sorted(
                     feats, pending_shadow, g16, scene.tile_aabbs,
                     bt=bt, interpret=interpret, precision=prec,
                 )
-            st, feats, nee, sidx, offsets_s, lane2px = pres[bounce](
+            outs = pres[bounce](
                 scene, cam, st, prev_nee, prev_occ, t, idx, t2, i2,
                 sidx, offsets_s, lane2px,
+                film_in if schedule is not None else None,
+                oflow if schedule is not None else None,
             )
+            if schedule is not None:
+                st, feats, nee, sidx, offsets_s, lane2px, film_in, oflow = outs
+            elif bounce == cfg.max_bounces - 1:
+                st, feats, nee, sidx, offsets_s, lane2px = outs
+            else:
+                st, feats, nee, sidx, offsets_s, lane2px, nk = outs
+                counts.append(nk)
             prev_nee = pending_shadow = None
             if nee is not None:
                 prev_nee, pending_shadow = nee
@@ -637,6 +753,48 @@ def _render_batch_sorted(
                 )
                 != 0
             )
-        film = finish(st, prev_nee, final_occ, film, lane2px)
-        _throttle(film, k // fold, _THROTTLE_GROUPS_SORTED)
+        film_in = finish(st, prev_nee, final_occ, film_in, lane2px)
+        return film_in, oflow, counts
+
+    lanes = px.shape[0] * fold
+    schedule = None
+    measured = False
+    window_film = window_oflow = None
+    window_ks = []
+
+    def flush_window():
+        nonlocal film, window_film, window_oflow, window_ks
+        if not window_ks:
+            return
+        if bool(np.asarray(window_oflow)):
+            for k2 in window_ks:  # ~never: margin under-predicted
+                g2 = min(fold, n_samples - k2)
+                film, _, _ = run_group(k2, g2, None, film, None)
+            np.asarray(film[:1])
+        else:
+            film = film + window_film
+        window_film = window_oflow = None
+        window_ks = []
+
+    for k in range(0, n_samples, fold):
+        g = min(fold, n_samples - k)
+        if g != fold or schedule is None:
+            film, _, counts = run_group(k, g, None, film, None)
+            if not measured and counts and g == fold:
+                measured = True
+                host = [int(np.asarray(c)) for c in counts]
+                schedule = _quantize_schedule(host, lanes, bt)
+            else:
+                _throttle(film, k // fold, _THROTTLE_GROUPS_SORTED)
+        else:
+            if window_film is None:
+                window_film = jnp.zeros_like(film)
+                window_oflow = jnp.zeros((), bool)
+            window_film, window_oflow, _ = run_group(
+                k, g, schedule, window_film, window_oflow
+            )
+            window_ks.append(k)
+            if len(window_ks) >= _THROTTLE_GROUPS_SORTED:
+                flush_window()
+    flush_window()
     return film
