@@ -362,8 +362,16 @@ def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False,
 
     def make_pre(bounce: int, last: bool):
         k_out = None if (last or schedule is None) else schedule[bounce]
+        # Donate everything consumed exactly once. `offsets` at bounce 0
+        # is the driver's tiled array, shared across sample groups — not
+        # donatable; from bounce 1 on it is this group's fresh permuted
+        # copy. Donating `film` makes the compaction scatter-add a true
+        # in-place update instead of a copy per stage.
+        donate = (2, 3, 4, 5, 6, 7, 8, 9, 11, 12, 13)
+        if bounce > 0:
+            donate = donate + (10,)
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=donate)
         def pre(scene, cam, st, prev_nee, prev_occ, t, idx, t2, idx2,
                 sidx, offsets, lane2px, film=None, oflow=None):
             if prev_nee is not None:
@@ -462,7 +470,7 @@ def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False,
 
         return pre
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
     def finish(radiance, prev_nee, prev_occ, film, lane2px):
         radiance = _fold_slim_nee(radiance, prev_nee, prev_occ)
         return film.at[lane2px].add(radiance)
@@ -601,15 +609,27 @@ def render_batch_staged(
     # Single-tile scenes with a bit-exact attr split get the winner's
     # shading row straight from the kernel (no consumer gather).
     kattrs = scene.tri_attrs_split
+    # The LAST bounce's shadow rays of group k ride group k+1's bounce-0
+    # nearest kernel (same merged executable as mid-bounce), so the
+    # standalone occlusion scan runs once per render, not once per
+    # group; group k's film fold then happens during group k+1.
+    held = None  # (radiance, prev_nee, pending_shadow, finish) awaiting occ
     for k in range(0, n_samples, fold):
         g = min(fold, n_samples - k)
         init, pres, finish = _stages(cfg, fold=g)
         pxg, pyg, offg = (
             tiled if g == fold else _tile_inputs((px, py, offsets), g)
         )
+        if held is not None and held[2].shape[0] != pxg.shape[0]:
+            film = _flush_held(
+                held, film, g16, scene, bt, interpret, prec
+            )
+            held = None
         sample_idx = jnp.uint32(sample_start + k)
         st, feats, sidx = init(cam, pxg, pyg, sample_idx, offg)
         prev_nee = pending_shadow = None
+        if held is not None:
+            pending_shadow = held[2]
         for bounce in range(cfg.max_bounces):
             attrs = attrs2 = t2 = i2 = None
             if pending_shadow is None:
@@ -642,6 +662,12 @@ def render_batch_staged(
                         feats, pending_shadow, g16, scene.tile_aabbs,
                         bt=bt, interpret=interpret, precision=prec,
                     )
+            if bounce == 0 and held is not None:
+                # the occlusion result belongs to the HELD group
+                rad_h, nee_h, _, finish_h = held
+                film = finish_h(rad_h, nee_h, prev_occ, film)
+                held = None
+                prev_occ = None
             st, feats, nee = pres[bounce](
                 scene, cam, st, feats, prev_nee, prev_occ, t, idx, attrs,
                 t2, i2, attrs2, sidx, offg,
@@ -649,18 +675,28 @@ def render_batch_staged(
             prev_nee = pending_shadow = None
             if nee is not None:
                 prev_nee, pending_shadow = nee
-        final_occ = None
         if pending_shadow is not None:
-            final_occ = (
-                flash_occlude_packed(
-                    pending_shadow, g16, scene.tile_aabbs,
-                    bt=bt, interpret=interpret, precision=prec,
-                )
-                != 0
-            )
-        film = finish(st, prev_nee, final_occ, film)
+            held = (st, prev_nee, pending_shadow, finish)
+        else:
+            film = finish(st, prev_nee, None, film)
         _throttle(film, k // fold)
+    if held is not None:
+        film = _flush_held(held, film, g16, scene, bt, interpret, prec)
     return film
+
+
+def _flush_held(held, film, g16, scene, bt, interpret, prec):
+    """Resolve a held group's final shadow scan with the standalone
+    occlusion kernel and fold its film contribution."""
+    rad, prev_nee, pending_shadow, finish = held
+    final_occ = (
+        flash_occlude_packed(
+            pending_shadow, g16, scene.tile_aabbs,
+            bt=bt, interpret=interpret, precision=prec,
+        )
+        != 0
+    )
+    return finish(rad, prev_nee, final_occ, film)
 
 
 def _quantize_schedule(counts, lanes: int, bt: int):
