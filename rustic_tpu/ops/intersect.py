@@ -443,7 +443,12 @@ def intersect_flash_attrs(scene, ro, rd, interpret: bool = False):
             interpret=interpret,
             precision=prec,
         )
-        return classify_flash_hit2(t, idx, attrs, t2, i2, attrs2, ro, rd)
+        res, win = classify_flash_hit2(t, idx, attrs, t2, i2, attrs2, ro, rd)
+        if win.shape[-1] != 64:  # kernel emitted slim untextured rows
+            from rustic_tpu.scene import world as W
+
+            win = W.expand_slim_attrs(win)
+        return res, win
     t, idx, t2, i2 = flash_nearest(
         _ray_features16(ro, rd),
         scene.tri_feats16,

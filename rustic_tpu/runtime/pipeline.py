@@ -279,6 +279,10 @@ def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1):
                 res, attrs = classify_flash_hit2(
                     t, idx, attrs, t2, idx2, attrs2, st.ro, st.rd
                 )
+            from rustic_tpu.scene import world as W
+
+            if attrs.shape[-1] != W.ATTR_WIDTH:  # kernel emitted slim rows
+                attrs = W.expand_slim_attrs(attrs)
             st2, nee_pack = trace_mod.bounce_pre(
                 scene, cfg, cam, bounce, st, res,
                 trace_mod.bounce_draws(bounce, sidx, offsets),
@@ -307,7 +311,7 @@ def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1):
 
         return pre
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
     def finish(radiance, prev_nee, prev_occ, film):
         radiance = _fold_slim_nee(radiance, prev_nee, prev_occ)
         if fold > 1:

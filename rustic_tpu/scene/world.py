@@ -38,6 +38,58 @@ ATTR_TRANSMISSION = 56  # KHR_materials_transmission factor
 ATTR_IOR = 57  # KHR_materials_ior
 ATTR_WIDTH = 64
 
+# Slim shading-row layout for UNTEXTURED scenes: the texture-only
+# columns (tangents, uvs, atlas rects, has-tex flags) are dropped and
+# the color/factor slots collapse to their scalar components, halving
+# the per-winner attr row the flash kernels emit and the shade stages
+# read back (HBM boundary traffic + in-kernel one-hot emission width).
+# POS/NRM stay at the same offsets so the exact winner re-test
+# (ops/intersect.py:refine_from_attrs) reads either layout unchanged;
+# expand_slim_attrs() reconstitutes the full logical row (the dropped
+# columns are all-zero for untextured scenes, so expansion is exact).
+SLIM_EMISSIVE = slice(18, 21)
+SLIM_ALBEDO = slice(21, 24)
+SLIM_ROUGH = 24
+SLIM_METAL = 25
+SLIM_TRANSMISSION = 26
+SLIM_IOR = 27
+SLIM_WIDTH = 32
+
+
+def slim_attr_table(attrs: "np.ndarray") -> "np.ndarray":
+    """[T, ATTR_WIDTH] full shading rows -> [T, SLIM_WIDTH] (untextured)."""
+    out = np.zeros((attrs.shape[0], SLIM_WIDTH), np.float32)
+    out[:, 0:18] = attrs[:, 0:18]  # POS + NRM, same offsets
+    out[:, SLIM_EMISSIVE] = attrs[:, ATTR_EMISSIVE]
+    out[:, SLIM_ALBEDO] = attrs[:, ATTR_ALBEDO][:, :3]
+    out[:, SLIM_ROUGH] = attrs[:, ATTR_ROUGH][:, 0]
+    out[:, SLIM_METAL] = attrs[:, ATTR_METAL][:, 0]
+    out[:, SLIM_TRANSMISSION] = attrs[:, ATTR_TRANSMISSION]
+    out[:, SLIM_IOR] = attrs[:, ATTR_IOR]
+    return out
+
+
+def expand_slim_attrs(slim: jnp.ndarray) -> jnp.ndarray:
+    """[B, SLIM_WIDTH] -> the full logical [B, ATTR_WIDTH] row. A pure
+    column shuffle with zero fill — XLA fuses it into the consumers, so
+    only the slim row ever crosses an executable boundary."""
+    b = slim.shape[0]
+    z = lambda n: jnp.zeros((b, n), slim.dtype)
+    return jnp.concatenate(
+        [
+            slim[:, 0:18],  # POS + NRM
+            z(15),  # TAN + UV
+            slim[:, SLIM_EMISSIVE],
+            slim[:, SLIM_ALBEDO], z(1),
+            slim[:, SLIM_ROUGH : SLIM_ROUGH + 1], z(3),
+            slim[:, SLIM_METAL : SLIM_METAL + 1], z(3),
+            z(8),  # NORMTEX + HASTEX
+            slim[:, SLIM_TRANSMISSION : SLIM_IOR + 1],
+            z(ATTR_WIDTH - 58),
+        ],
+        axis=-1,
+    )
+
 # Combined NEE entry rows (entry_rows[:, i]): everything one alias entry
 # can resolve to, in a single row — one fetch per NEE sample covers the
 # whole light-pick + light-geometry lookup.
@@ -423,7 +475,15 @@ class World:
                 jnp.asarray(split)
                 if (
                     self.tri_attrs.shape[0] <= ONEHOT_ATTRS_MAX_TPAD
-                    and (split := _split_rows_bf16x3(self.tri_attrs))
+                    and (
+                        split := _split_rows_bf16x3(
+                            # untextured scenes emit the slim row (half
+                            # the kernel output + boundary traffic)
+                            self.tri_attrs
+                            if self.mat_has_tex.any()
+                            else slim_attr_table(self.tri_attrs)
+                        )
+                    )
                     is not None
                 )
                 else None

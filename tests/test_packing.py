@@ -92,11 +92,31 @@ def test_attr_split_is_bit_exact(cornell_world):
     gather_attr_rows must therefore equal the row gather exactly."""
     import jax.numpy as jnp
 
+    from rustic_tpu.scene.world import expand_slim_attrs, slim_attr_table
+
     scene = cornell_world.to_device()
     assert scene.tri_attrs_split is not None
     s = np.asarray(scene.tri_attrs_split.astype(jnp.float32))
     rebuilt = (s[0] + s[1]) + s[2]
-    np.testing.assert_array_equal(rebuilt, np.asarray(scene.tri_attrs))
+    # untextured scenes split the slim row layout (half the kernel
+    # emission width); expansion must reproduce the full row exactly
+    assert not scene.has_textures
+    np.testing.assert_array_equal(
+        rebuilt, slim_attr_table(np.asarray(scene.tri_attrs))
+    )
+    # Expansion restores every column the untextured shading path can
+    # consume; the dropped columns (tangents, uvs, atlas rects, flags —
+    # only read under scene.has_textures, plus the unread vec4 tails of
+    # the color/factor slots) come back as zeros.
+    expect = np.asarray(scene.tri_attrs).copy()
+    expect[:, 18:33] = 0.0  # TAN + UV
+    expect[:, 39] = 0.0  # albedo vec4 tail
+    expect[:, 41:44] = 0.0  # rough vec4 tail
+    expect[:, 45:48] = 0.0  # metal vec4 tail
+    expect[:, 48:56] = 0.0  # NORMTEX + HASTEX
+    np.testing.assert_array_equal(
+        np.asarray(expand_slim_attrs(jnp.asarray(rebuilt))), expect
+    )
 
     from rustic_tpu.ops.intersect import gather_attr_rows
 
