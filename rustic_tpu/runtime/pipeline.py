@@ -703,27 +703,77 @@ def _flush_held(held, film, g16, scene, bt, interpret, prec):
     return finish(rad, prev_nee, final_occ, film)
 
 
-def _quantize_schedule(counts, lanes: int, bt: int):
+def _quantize_schedule(counts, lanes: int, bt: int, measured: int = None):
     """Static per-bounce keep-lane counts from measured keep counts.
 
-    Quantized to a coarse power-of-two grid (each level a bt multiple)
-    so only a handful of kernel/stage shapes ever compile, with a 10%
-    + one-block safety margin over the measurement; overflow beyond the
-    margin is detected at run time and the window re-rendered. Returns
-    None when compaction would not drop at least half the lanes
-    anywhere (not worth the extra executables)."""
+    `measured` is the lane count the counts were observed over (a pilot
+    subsample); estimates scale up to `lanes`. Quantized to a coarse
+    power-of-two grid (each level a bt multiple) so only a handful of
+    kernel/stage shapes ever compile, with a 10% + one-block safety
+    margin over the measurement; overflow beyond the margin is detected
+    at run time and the window re-rendered. Returns None when
+    compaction would not drop at least half the lanes anywhere (not
+    worth the extra executables)."""
+    scale = lanes / max(measured or lanes, 1)
     levels = sorted(
         min(lanes, -(-(lanes // d) // bt) * bt) for d in (1, 2, 4, 8, 16, 32)
     )
     ks = []
     for c in counts:
-        need = int(c * 1.10) + bt
+        need = int(c * scale * 1.10) + bt
         ks.append(next((lv for lv in levels if lv >= need), lanes))
     for i in range(1, len(ks)):  # keep-set only shrinks
         ks[i] = min(ks[i], ks[i - 1])
     if min(ks) > lanes // 2:
         return None
     return tuple(ks)
+
+
+def _pilot_schedule(
+    scene, cfg, cam, px, py, offsets, sample_start, lanes, bt, interpret,
+    prec,
+):
+    """Measure per-bounce keep counts on a strided pixel subsample (one
+    sample, uncompacted) and quantize into a compaction schedule for
+    the full lane set. The pilot is a few thousand lanes — its kernel
+    and stage shapes compile in seconds and its dispatch chain is
+    ~trivial next to one real sample group — so every real group runs
+    compacted (a group-0 measurement would leave single-group renders,
+    e.g. low-spp folded batches, uncompacted)."""
+    if cfg.max_bounces < 2:
+        return None
+    stride = max(1, px.shape[0] // 8192)
+    ppx, ppy, poff = px[::stride], py[::stride], offsets[::stride]
+    g16 = scene.tri_feats16
+    init, pres, _ = _stages_sorted(cfg, fold=1, schedule=None)
+    st, feats, sidx, lane2px = init(
+        cam, ppx, ppy, jnp.uint32(sample_start), poff
+    )
+    offsets_s = poff
+    prev_nee = pending_shadow = None
+    counts = []
+    for bounce in range(cfg.max_bounces - 1):
+        if pending_shadow is None:
+            t, idx, t2, i2 = flash_nearest(
+                feats, g16, scene.tile_aabbs, bt=bt, interpret=interpret,
+                precision=prec,
+            )
+            prev_occ = None
+        else:
+            t, idx, prev_occ, t2, i2 = flash_nearest_shadow(
+                feats, pending_shadow, g16, scene.tile_aabbs,
+                bt=bt, interpret=interpret, precision=prec,
+            )
+        st, feats, nee, sidx, offsets_s, lane2px, nk = pres[bounce](
+            scene, cam, st, prev_nee, prev_occ, t, idx, t2, i2,
+            sidx, offsets_s, lane2px, None, None,
+        )
+        counts.append(nk)
+        prev_nee = pending_shadow = None
+        if nee is not None:
+            prev_nee, pending_shadow = nee
+    host = [int(np.asarray(c)) for c in counts]
+    return _quantize_schedule(host, lanes, bt, measured=ppx.shape[0])
 
 
 def _render_batch_sorted(
@@ -797,17 +847,23 @@ def _render_batch_sorted(
         return film_in, oflow, counts
 
     lanes = px.shape[0] * fold
-    schedule = None
-    measured = False
+    schedule = _pilot_schedule(
+        scene, cfg, cam, px, py, offsets, sample_start, lanes, bt,
+        interpret, prec,
+    )
     window_film = window_oflow = None
     window_ks = []
 
     def flush_window():
-        nonlocal film, window_film, window_oflow, window_ks
+        nonlocal film, schedule, window_film, window_oflow, window_ks
         if not window_ks:
             return
         if bool(np.asarray(window_oflow)):
-            for k2 in window_ks:  # ~never: margin under-predicted
+            # ~never: the pilot under-predicted (margin is ~100 sigma of
+            # subsample noise). Re-render the window uncompacted and stop
+            # compacting — correctness never depends on the schedule.
+            schedule = None
+            for k2 in window_ks:
                 g2 = min(fold, n_samples - k2)
                 film, _, _ = run_group(k2, g2, None, film, None)
             np.asarray(film[:1])
@@ -819,13 +875,8 @@ def _render_batch_sorted(
     for k in range(0, n_samples, fold):
         g = min(fold, n_samples - k)
         if g != fold or schedule is None:
-            film, _, counts = run_group(k, g, None, film, None)
-            if not measured and counts and g == fold:
-                measured = True
-                host = [int(np.asarray(c)) for c in counts]
-                schedule = _quantize_schedule(host, lanes, bt)
-            else:
-                _throttle(film, k // fold, _THROTTLE_GROUPS_SORTED)
+            film, _, _ = run_group(k, g, None, film, None)
+            _throttle(film, k // fold, _THROTTLE_GROUPS_SORTED)
         else:
             if window_film is None:
                 window_film = jnp.zeros_like(film)

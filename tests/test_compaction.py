@@ -19,7 +19,10 @@ from rustic_tpu.runtime import pipeline as P
 from rustic_tpu.scene.world import World
 
 
-def _render(world, n_px, spp, seed=11):
+def _render(world, n_px, spp, monkeypatch, seed=11):
+    """Returns (reference, multi): per-sample renders with compaction
+    forced off, summed, vs one multi-sample render with whatever
+    schedule the (possibly monkeypatched) quantizer produces."""
     from rustic_tpu.config import NextEventEstimation, TracingConfig
 
     scene = world.to_device()
@@ -31,12 +34,14 @@ def _render(world, n_px, spp, seed=11):
     py = jnp.asarray(rng.integers(0, 64, n_px), jnp.int32)
     offsets = jnp.asarray(rng.integers(0, 1 << 31, n_px), jnp.uint32)
 
-    films = [
-        np.asarray(
-            P.render_batch_staged(scene, cfg, cam, px, py, offsets, s, 1)
-        )
-        for s in range(spp)
-    ]
+    with monkeypatch.context() as m:
+        m.setattr(P, "_pilot_schedule", lambda *a, **k: None)
+        films = [
+            np.asarray(
+                P.render_batch_staged(scene, cfg, cam, px, py, offsets, s, 1)
+            )
+            for s in range(spp)
+        ]
     multi = np.asarray(
         P.render_batch_staged(scene, cfg, cam, px, py, offsets, 0, spp)
     )
@@ -56,22 +61,22 @@ def test_quantize_schedule():
 
 def test_compacted_film_matches_uncompacted(monkeypatch):
     """FurnaceTest retires ~94% of lanes at bounce 0 (camera rays end on
-    the emissive shell), so the measured schedule compacts hard; the
-    multi-group render (group 0 measures, later groups compact) must
-    equal the sum of single-group renders (which never compact)."""
+    the emissive shell), so the pilot-measured schedule compacts hard;
+    the compacted multi-group render must equal the sum of per-sample
+    renders with compaction forced off."""
     monkeypatch.setenv("RUSTIC_SAMPLE_FOLD", "1")
     seen = {}
     orig = P._quantize_schedule
 
-    def spy(counts, lanes, bt):
-        out = orig(counts, lanes, bt)
+    def spy(counts, lanes, bt, **kw):
+        out = orig(counts, lanes, bt, **kw)
         seen["schedule"] = out
         seen["lanes"] = lanes
         return out
 
     monkeypatch.setattr(P, "_quantize_schedule", spy)
     world = World.from_path(scene_path("FurnaceTest.glb"))
-    ref, multi = _render(world, n_px=1024, spp=3)
+    ref, multi = _render(world, n_px=1024, spp=3, monkeypatch=monkeypatch)
     assert seen["schedule"] is not None, "compaction did not engage"
     assert min(seen["schedule"]) < seen["lanes"]
     np.testing.assert_allclose(multi, ref, rtol=1e-5, atol=1e-6)
@@ -85,12 +90,12 @@ def test_overflow_redo_is_unbiased(monkeypatch):
     monkeypatch.setenv("RUSTIC_SAMPLE_FOLD", "1")
     tripped = {}
 
-    def bogus(counts, lanes, bt):
+    def bogus(counts, lanes, bt, **kw):
         tripped["lanes"] = lanes
         return (256,) * len(counts)
 
     monkeypatch.setattr(P, "_quantize_schedule", bogus)
     world = World.from_path(scene_path("VeachMIS.glb"))
-    ref, multi = _render(world, n_px=512, spp=3)
+    ref, multi = _render(world, n_px=512, spp=3, monkeypatch=monkeypatch)
     assert tripped["lanes"] == 512
     np.testing.assert_allclose(multi, ref, rtol=1e-5, atol=1e-6)
