@@ -39,10 +39,11 @@ class Tonemapping(enum.IntEnum):
 
     NONE = 0
     REINHARD = 1
-    ACES_NARKOWICZ = 2
-    ACES_HILL = 3
-    NEUTRAL = 4
-    UNCHARTED2 = 5
+    ACES_NARKOWICZ = 2  # x0.6 pre-exposure (render.wgsl:136)
+    ACES_NARKOWICZ_OVEREXPOSED = 3  # no pre-exposure (render.wgsl:139-140)
+    ACES_HILL = 4
+    NEUTRAL = 5
+    UNCHARTED2 = 6
 
 
 def _default_sun() -> Tuple[float, float, float, float]:

@@ -35,6 +35,18 @@ Dot precision (static `precision` arg on every entry point):
              noise-dominated det can no longer mint random occluders
              (pre-normalization this ate ~25% of NEE energy on
              DarkCornell).
+  "mixed2" — SPLIT-ROLE nearest dot: the det and t numerator columns
+             run at f32 (6-pass), the u and v columns at bf16x3
+             (3-pass) — 18 instead of 24 single-pass-equivalents per
+             nearest scan. Safe because the two failure modes of a
+             noisy scan are asymmetric: t/det noise MISRANKS winners
+             (image-level errors, needed the top-2 carry), while u/v
+             noise only blurs the validity window at triangle EDGES —
+             an epsilon-expanded window plus the consumer's exact f32
+             winner re-test resolves those exactly (same contract the
+             bf16x3 margin already relies on). Ranking stays exact, so
+             no top-2 carry is needed. Any-hit scans are bf16x3 as in
+             "mixed".
   "auto"   — "f32" when interpret=True, else $RUSTIC_FLASH_DOT
              (default "mixed").
 
@@ -133,6 +145,15 @@ def resolve_precision(precision: str, interpret: bool) -> str:
     if interpret:
         return "f32"
     return os.environ.get("RUSTIC_FLASH_DOT", "mixed")
+
+
+def near_edge_margin(precision: str) -> float:
+    """The consumer-side barycentric clamp margin matching the kernel's
+    epsilon-expanded validity window (classify_flash_hit edge_margin).
+    Nonzero only for split-window nearest scans WITHOUT a top-2 carry:
+    with top-2, the dual exact re-test resolves margin admits instead."""
+    plan = _plan_for(precision, "near")
+    return plan.near_margin if not plan.top2 else 0.0
 
 
 def split_bf16(a):
@@ -263,10 +284,14 @@ class _DotPlan:
         # surfaces differently from brute (measured: one 4-spp pixel in
         # 64^2 VeachMIS off by 5e-2; mean |d| ~1e-5, energy 1.0000).
         self.exact = (precision == "f32") if exact is None else exact
-        # inclusive validity margin for the nearest scan when its dot is
-        # the ~2^-16 bf16 split (see _epilogue)
-        self.near_margin = 1e-3 if precision == "bf16x3" else 0.0
-        self.near_det_eps = DET_EPS_SPLIT if precision == "bf16x3" else DET_EPS
+        # inclusive validity margin for the nearest scan when any of its
+        # window columns ride the ~2^-16 bf16 split (see _epilogue)
+        split_near = precision in ("bf16x3", "mixed2", "near2")
+        self.near_margin = 1e-3 if split_near else 0.0
+        # split-window scans also raise the det floor: every window
+        # quantity scales with d while the split-dot noise is absolute,
+        # so tiny-d pairs would otherwise drown in u/v noise
+        self.near_det_eps = DET_EPS_SPLIT if split_near else DET_EPS
         self.any_det_eps = DET_EPS if precision == "f32" else DET_EPS_SPLIT
         # The bf16x3 nearest scan carries its TOP-2 candidates out of the
         # packed reduction: the consumer re-tests both in exact f32 and
@@ -279,16 +304,35 @@ class _DotPlan:
             precision == "bf16x3"
             and os.environ.get("RUSTIC_TOP2", "1") == "1"
         )
-        if precision == "f32":
-            self.ng = 1
-        elif precision == "bf16x3":
-            self.ng = 2
-        elif precision == "mixed":
-            self.ng = 3
-        else:
+        # per-operand G block widths in units of TT (the BlockSpec /
+        # VMEM geometry). "near2" is the nearest-only collapse of
+        # "mixed2" (see _plan_for): [det|t] f32 + [u|v] hi/lo. The full
+        # "mixed2" additionally ships [det|t] hi/lo for the any-hit
+        # side of merged kernels.
+        widths = {
+            "f32": [4],
+            "bf16x3": [4, 4],
+            "mixed": [4, 4, 4],
+            "near2": [2, 2, 2],
+            "mixed2": [2, 2, 2, 2, 2],
+        }
+        if precision not in widths:
             raise ValueError(f"unknown flash dot precision: {precision!r}")
+        self.g_widths = widths[precision]
+        self.ng = len(self.g_widths)
+        self.g0_tts = self.g_widths[0]
 
     def g_operands(self, tri_feats16):
+        if self.precision in ("near2", "mixed2"):
+            t_pad, tt, nt = _geometry(tri_feats16)
+            g = tri_feats16.reshape(16, nt, 4, tt)
+            dt = g[:, :, (0, 3), :].reshape(16, nt * 2 * tt)
+            uv = g[:, :, (1, 2), :].reshape(16, nt * 2 * tt)
+            uv_hi, uv_lo = split_bf16(uv)
+            if self.precision == "near2":
+                return (dt, uv_hi, uv_lo)
+            dt_hi, dt_lo = split_bf16(dt)
+            return (dt, uv_hi, uv_lo, dt_hi, dt_lo)
         if self.precision == "f32":
             return (tri_feats16,)
         hi, lo = split_bf16(tri_feats16)
@@ -305,6 +349,23 @@ class _DotPlan:
         if self.precision == "f32":
             return _dotT_f32(f_t, g_blocks[0])
         return _dotT_split3(f_t, g_blocks[-2], g_blocks[-1])
+
+    def near_scalars(self, f_t, g_blocks, tt):
+        """Sign-folded (d, us, vs, ts) for the nearest scan."""
+        if self.precision in ("near2", "mixed2"):
+            raw_dt = _dotT_f32(f_t, g_blocks[0])  # [BT, 2tt]: [det | t]
+            raw_uv = _dotT_split3(f_t, g_blocks[1], g_blocks[2])
+            return _fold_dt_uv(raw_dt, raw_uv, tt)
+        return _num_split(self.dot_near(f_t, g_blocks), tt)
+
+    def any_scalars(self, f_t, g_blocks, tt):
+        """Sign-folded (d, us, vs, ts) for the any-hit scan."""
+        if self.precision == "mixed2":
+            raw_dt = _dotT_split3(f_t, g_blocks[3], g_blocks[4])
+            raw_uv = _dotT_split3(f_t, g_blocks[1], g_blocks[2])
+            return _fold_dt_uv(raw_dt, raw_uv, tt)
+        assert self.precision != "near2", "near2 plans have no any-hit side"
+        return _num_split(self.dot_any(f_t, g_blocks), tt)
 
 
 def _dot_split3(f_tile, g_hi, g_lo):
@@ -350,6 +411,14 @@ def _num_split(raw, tt):
     return d, us, vs, ts
 
 
+def _fold_dt_uv(raw_dt, raw_uv, tt):
+    """Split-role raws ([BT, 2tt] [det|t], [BT, 2tt] [u|v]) ->
+    sign-folded (d, us, vs, ts) — _num_split for the mixed2 layout."""
+    det = raw_dt[:, :tt]
+    s = jnp.where(det < 0.0, -1.0, 1.0)
+    return det * s, raw_uv[:, :tt] * s, raw_uv[:, tt:] * s, raw_dt[:, tt:] * s
+
+
 def _tile_minarg(plan, f_tile, g_blocks, tt):
     """Nearest valid candidate of one tile: (t_min, argmin).
 
@@ -368,7 +437,7 @@ def _tile_minarg(plan, f_tile, g_blocks, tt):
         tm = jnp.where(valid, t, BIG)
         return jnp.min(tm, axis=1), jnp.argmin(tm, axis=1).astype(jnp.int32)
     assert not plan.top2, "top2 plans use _tile_top2"
-    d, us, vs, ts = _num_split(plan.dot_near(f_tile, g_blocks), tt)
+    d, us, vs, ts = plan.near_scalars(f_tile, g_blocks, tt)
     m = plan.near_margin
     # The whole validity window as ONE min-gate (the scans are VPU
     # issue-bound, so every elementwise pass counts): us>=0 & vs>=0 &
@@ -480,7 +549,7 @@ def _tile_anyhit(plan, f_tile, g_blocks, tt):
         )
         hit = valid & (t <= f_tile[SH_MAXT_COL, :][:, None])
         return jnp.any(hit, axis=1).astype(jnp.int32)
-    d, us, vs, ts = _num_split(plan.dot_any(f_tile, g_blocks), tt)
+    d, us, vs, ts = plan.any_scalars(f_tile, g_blocks, tt)
     maxt = f_tile[SH_MAXT_COL, :][:, None]
     # Same single-min-gate trick as _tile_minarg, with the det threshold
     # and the max_t window folded in; "any valid" then reduces as one
@@ -603,7 +672,7 @@ def _nearest_single_attrs(plan):
         parts = tuple(r[...] for r in refs[1 + ng : 4 + ng])
         near_refs = refs[4 + ng : 4 + ng + nn]
         attr_refs = refs[4 + ng + nn :]
-        tt = g_blocks[0].shape[-1] // 4
+        tt = g_blocks[0].shape[-1] // plan.g0_tts
         _emit_near(plan, f_ref[...], g_blocks, tt, near_refs)
         attr_refs[0][...] = _winner_attrs(near_refs[1][0, :], parts, tt)
         if plan.top2:
@@ -623,7 +692,7 @@ def _nearest_shadow_single_attrs(plan):
         near_refs = refs[5 + ng : 5 + ng + nn]
         occ_ref = refs[5 + ng + nn]
         attr_refs = refs[6 + ng + nn :]
-        tt = g_blocks[0].shape[-1] // 4
+        tt = g_blocks[0].shape[-1] // plan.g0_tts
         _emit_near(plan, f_ref[...], g_blocks, tt, near_refs)
         occ_ref[0, :] = _tile_anyhit(plan, sh_ref[...], g_blocks, tt)
         attr_refs[0][...] = _winner_attrs(near_refs[1][0, :], parts, tt)
@@ -640,7 +709,7 @@ def _nearest_single(plan):
         f_ref = refs[0]
         g_blocks = tuple(r[...] for r in refs[1 : 1 + ng])
         near_refs = refs[1 + ng :]
-        tt = g_blocks[0].shape[-1] // 4
+        tt = g_blocks[0].shape[-1] // plan.g0_tts
         _emit_near(plan, f_ref[...], g_blocks, tt, near_refs)
 
     return kernel
@@ -655,7 +724,7 @@ def _nearest_multi(plan):
         aabb_ref = refs[1 + ng]
         near_refs = refs[2 + ng :]
         j = pl.program_id(1)
-        tt = g_refs[0].shape[-1] // 4
+        tt = g_refs[0].shape[-1] // plan.g0_tts
 
         @pl.when(j == 0)
         def _():
@@ -681,7 +750,7 @@ def _nearest_shadow_single(plan):
         g_blocks = tuple(r[...] for r in refs[2 : 2 + ng])
         near_refs = refs[2 + ng : 2 + ng + nn]
         occ_ref = refs[2 + ng + nn]
-        tt = g_blocks[0].shape[-1] // 4
+        tt = g_blocks[0].shape[-1] // plan.g0_tts
         _emit_near(plan, f_ref[...], g_blocks, tt, near_refs)
         occ_ref[0, :] = _tile_anyhit(plan, sh_ref[...], g_blocks, tt)
 
@@ -699,7 +768,7 @@ def _nearest_shadow_multi(plan):
         near_refs = refs[3 + ng : 3 + ng + nn]
         occ_ref = refs[3 + ng + nn]
         j = pl.program_id(1)
-        tt = g_refs[0].shape[-1] // 4
+        tt = g_refs[0].shape[-1] // plan.g0_tts
 
         @pl.when(j == 0)
         def _():
@@ -730,7 +799,7 @@ def _occlude_single(plan):
         f_ref = refs[0]
         g_blocks = tuple(r[...] for r in refs[1 : 1 + ng])
         occ_ref = refs[1 + ng]
-        tt = g_blocks[0].shape[-1] // 4
+        tt = g_blocks[0].shape[-1] // plan.g0_tts
         occ_ref[0, :] = _tile_anyhit(plan, f_ref[...], g_blocks, tt)
 
     return kernel
@@ -745,7 +814,7 @@ def _occlude_multi(plan):
         aabb_ref = refs[1 + ng]
         occ_ref = refs[2 + ng]
         j = pl.program_id(1)
-        tt = g_refs[0].shape[-1] // 4
+        tt = g_refs[0].shape[-1] // plan.g0_tts
 
         @pl.when(j == 0)
         def _():
@@ -808,23 +877,28 @@ def pick_bt(tri_feats16) -> int:
 
 
 def _plan_for(precision: str, role: str) -> _DotPlan:
-    """Collapse `mixed` for single-role kernels so they ship only the
-    G-side operands they actually consume. Only the user-level "f32"
-    (oracle) mode gets exact reductions — a mixed-mode nearest scan
-    collapses to the f32 dot but keeps the fast packed epilogue."""
+    """Collapse `mixed`/`mixed2` for single-role kernels so they ship
+    only the G-side operands they actually consume. Only the user-level
+    "f32" (oracle) mode gets exact reductions — a mixed-mode nearest
+    scan collapses to the f32 dot but keeps the fast packed epilogue."""
     exact = precision == "f32"
     if precision == "mixed":
         if role == "near":
             precision = "f32"
         elif role == "any":
             precision = "bf16x3"
+    elif precision == "mixed2":
+        if role == "near":
+            precision = "near2"
+        elif role == "any":
+            precision = "bf16x3"
     return _DotPlan(precision, exact=exact)
 
 
-def _g_specs(n, tt):
+def _g_specs(plan, tt):
     return [
-        pl.BlockSpec((16, 4 * tt), lambda i, j: (0, j), memory_space=pltpu.VMEM)
-        for _ in range(n)
+        pl.BlockSpec((16, w * tt), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+        for w in plan.g_widths
     ]
 
 
@@ -896,7 +970,7 @@ def _flash_nearest(
     t_pad, tt, nt = _geometry(tri_feats16)
     g_ops = plan.g_operands(tri_feats16)
     kernel = (_nearest_single if nt == 1 else _nearest_multi)(plan)
-    in_specs = [_RAY_SPEC(bt)] + _g_specs(plan.ng, tt)
+    in_specs = [_RAY_SPEC(bt)] + _g_specs(plan, tt)
     operands = [feats, *g_ops]
     if nt > 1:
         in_specs.append(_AABB_SPEC(nt))
@@ -953,7 +1027,7 @@ def _flash_nearest_attrs(
     parts = attr_split.transpose(0, 2, 1)  # [3, w, tt] (tiny)
     in_specs = (
         [_RAY_SPEC(bt)]
-        + _g_specs(plan.ng, tt)
+        + _g_specs(plan, tt)
         + [
             pl.BlockSpec((w, tt), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
             for _ in range(3)
@@ -1005,7 +1079,7 @@ def _flash_nearest_shadow_attrs(
     parts = attr_split.transpose(0, 2, 1)  # [3, w, tt] (tiny)
     in_specs = (
         [_RAY_SPEC(bt), _RAY_SPEC(bt)]
-        + _g_specs(plan.ng, tt)
+        + _g_specs(plan, tt)
         + [
             pl.BlockSpec((w, tt), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
             for _ in range(3)
@@ -1060,7 +1134,7 @@ def _flash_nearest_shadow(
     t_pad, tt, nt = _geometry(tri_feats16)
     g_ops = plan.g_operands(tri_feats16)
     kernel = (_nearest_shadow_single if nt == 1 else _nearest_shadow_multi)(plan)
-    in_specs = [_RAY_SPEC(bt), _RAY_SPEC(bt)] + _g_specs(plan.ng, tt)
+    in_specs = [_RAY_SPEC(bt), _RAY_SPEC(bt)] + _g_specs(plan, tt)
     operands = [feats, shadow_feats, *g_ops]
     if nt > 1:
         in_specs.append(_AABB_SPEC(nt))
@@ -1106,7 +1180,7 @@ def _flash_occlude_packed(
     t_pad, tt, nt = _geometry(tri_feats16)
     g_ops = plan.g_operands(tri_feats16)
     kernel = (_occlude_single if nt == 1 else _occlude_multi)(plan)
-    in_specs = [_RAY_SPEC(bt)] + _g_specs(plan.ng, tt)
+    in_specs = [_RAY_SPEC(bt)] + _g_specs(plan, tt)
     operands = [feats, *g_ops]
     if nt > 1:
         in_specs.append(_AABB_SPEC(nt))

@@ -362,7 +362,8 @@ def gather_attr_rows(scene, idx):
     return scene.tri_attrs[jnp.clip(idx, 0, scene.tri_attrs.shape[0] - 1)]
 
 
-def classify_flash_hit(t_kernel, idx, attrs, ro, rd, trust_kernel: bool = False):
+def classify_flash_hit(t_kernel, idx, attrs, ro, rd, trust_kernel: bool = False,
+                       edge_margin: float = 0.0):
     """Turn a flash-kernel winner (t_kernel, gathered attr row) into an
     exact TraceResult via one f32 re-test of that triangle.
 
@@ -372,6 +373,13 @@ def classify_flash_hit(t_kernel, idx, attrs, ro, rd, trust_kernel: bool = False)
     rare enough that dropping the path costs <0.3% energy and beats the
     alternative below on outlier count (measured: px>0.1 error 0.07% vs
     0.29% at 64spp).
+    edge_margin > 0 (split-window scans without a top-2 carry, i.e.
+    "mixed2"): a winner whose exact barycentrics land within the margin
+    OUTSIDE the simplex is a real near-edge crossing the kernel's
+    epsilon-expanded window admitted — accept it with clamped u/v
+    (sub-noise geometric shift) instead of dropping the path. The
+    kernel's t ranking is exact under mixed2, so this never shadows a
+    nearer true hit.
     trust_kernel=True (experimental): the kernel's hit verdict stands —
     barycentrics are clamped into the simplex and the kernel's t is used
     where the re-test's is unusable, trading lost paths for a sub-pixel
@@ -381,6 +389,14 @@ def classify_flash_hit(t_kernel, idx, attrs, ro, rd, trust_kernel: bool = False)
     t2, u, v, backface, valid = refine_from_attrs(attrs, ro, rd)
     kernel_hit = t_kernel < BIG
     if not trust_kernel:
+        if edge_margin > 0.0:
+            m = edge_margin
+            near_edge = (
+                (u >= -m) & (v >= -m) & (u + v <= 1.0 + m) & (t2 > EPS)
+            )
+            valid = valid | near_edge
+            u = jnp.clip(u, 0.0, 1.0)
+            v = jnp.clip(v, 0.0, 1.0 - u)
         hit = kernel_hit & valid
         return TraceResult(
             jnp.where(hit, t2, BIG), idx, hit, backface & hit, u, v
@@ -392,7 +408,8 @@ def classify_flash_hit(t_kernel, idx, attrs, ro, rd, trust_kernel: bool = False)
     return TraceResult(jnp.where(hit, t, BIG), idx, hit, backface & hit, u, v)
 
 
-def classify_flash_hit2(t1k, i1, attrs1, t2k, i2, attrs2, ro, rd):
+def classify_flash_hit2(t1k, i1, attrs1, t2k, i2, attrs2, ro, rd,
+                        edge_margin: float = 0.0):
     """Resolve a top-2 flash winner pair into an exact TraceResult plus
     the chosen triangle's attr row.
 
@@ -402,7 +419,11 @@ def classify_flash_hit2(t1k, i1, attrs1, t2k, i2, attrs2, ro, rd):
     true winner was ranked third. Falls back to the single-candidate
     classify when the kernel carried no second candidate."""
     if t2k is None:
-        return classify_flash_hit(t1k, i1, attrs1, ro, rd), attrs1
+        return (
+            classify_flash_hit(t1k, i1, attrs1, ro, rd,
+                               edge_margin=edge_margin),
+            attrs1,
+        )
     ta, ua, va, bfa, vala = refine_from_attrs(attrs1, ro, rd)
     tb, ub, vb, bfb, valb = refine_from_attrs(attrs2, ro, rd)
     hita = (t1k < BIG) & vala
@@ -430,10 +451,12 @@ def intersect_flash_attrs(scene, ro, rd, interpret: bool = False):
     from rustic_tpu.ops.flash_intersect import (
         flash_nearest,
         flash_nearest_attrs,
+        near_edge_margin,
         resolve_precision,
     )
 
     prec = resolve_precision("auto", interpret)
+    margin = near_edge_margin(prec)
     if scene.tri_attrs_split is not None:
         t, idx, attrs, t2, i2, attrs2 = flash_nearest_attrs(
             _ray_features16(ro, rd),
@@ -443,7 +466,9 @@ def intersect_flash_attrs(scene, ro, rd, interpret: bool = False):
             interpret=interpret,
             precision=prec,
         )
-        res, win = classify_flash_hit2(t, idx, attrs, t2, i2, attrs2, ro, rd)
+        res, win = classify_flash_hit2(
+            t, idx, attrs, t2, i2, attrs2, ro, rd, edge_margin=margin
+        )
         if win.shape[-1] != 64:  # kernel emitted slim untextured rows
             from rustic_tpu.scene import world as W
 
@@ -458,7 +483,9 @@ def intersect_flash_attrs(scene, ro, rd, interpret: bool = False):
     )
     attrs = gather_attr_rows(scene, idx)
     attrs2 = None if t2 is None else gather_attr_rows(scene, i2)
-    return classify_flash_hit2(t, idx, attrs, t2, i2, attrs2, ro, rd)
+    return classify_flash_hit2(
+        t, idx, attrs, t2, i2, attrs2, ro, rd, edge_margin=margin
+    )
 
 
 def intersect_flash(scene, ro, rd, interpret: bool = False) -> TraceResult:

@@ -18,9 +18,19 @@ def reinhard(x):
     return x / (x + 1.0)
 
 
-def aces_narkowicz(x):
+def _aces_narkowicz_curve(x):
     a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
     return jnp.clip((x * (a * x + b)) / (x * (c * x + d) + e), 0.0, 1.0)
+
+
+def aces_narkowicz(x):
+    """The reference's default ACES applies a 0.6 pre-exposure
+    (render.wgsl:136); the 'overexposed' variant omits it (:139-140)."""
+    return _aces_narkowicz_curve(x * 0.6)
+
+
+def aces_narkowicz_overexposed(x):
+    return _aces_narkowicz_curve(x)
 
 
 _ACES_INPUT = jnp.asarray(
@@ -79,6 +89,7 @@ _OPS = {
     Tonemapping.NONE: lambda x: x,
     Tonemapping.REINHARD: reinhard,
     Tonemapping.ACES_NARKOWICZ: aces_narkowicz,
+    Tonemapping.ACES_NARKOWICZ_OVEREXPOSED: aces_narkowicz_overexposed,
     Tonemapping.ACES_HILL: aces_hill,
     Tonemapping.NEUTRAL: neutral,
     Tonemapping.UNCHARTED2: uncharted2,

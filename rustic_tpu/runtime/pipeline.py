@@ -50,7 +50,7 @@ from rustic_tpu.ops.flash_intersect import (
 # 256x144x8spp: PBRTest 1.60 -> 2.47 Mpaths/s, FurnaceTest
 # 1.12 -> 3.16. Set RUSTIC_SORT_PATHS=0 to disable.
 _SORT_PATHS = os.environ.get("RUSTIC_SORT_PATHS", "1") == "1"
-from rustic_tpu.ops.flash_intersect import resolve_precision
+from rustic_tpu.ops.flash_intersect import near_edge_margin, resolve_precision
 from rustic_tpu.ops.intersect import (
     BIG,
     _ray_features16,
@@ -224,7 +224,8 @@ def _sentinel_feats(feats, dead):
 
 
 @functools.lru_cache(maxsize=16)
-def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1):
+def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1,
+            edge_margin: float = 0.0):
     """Compile the per-bounce XLA stages (cached per static config).
 
     Each bounce is ONE XLA program: it folds the previous bounce's
@@ -277,7 +278,8 @@ def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1):
                 )
             else:
                 res, attrs = classify_flash_hit2(
-                    t, idx, attrs, t2, idx2, attrs2, st.ro, st.rd
+                    t, idx, attrs, t2, idx2, attrs2, st.ro, st.rd,
+                    edge_margin=edge_margin,
                 )
             from rustic_tpu.scene import world as W
 
@@ -326,7 +328,8 @@ def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1):
 
 @functools.lru_cache(maxsize=32)
 def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False,
-                   fold: int = 1, schedule: Optional[tuple] = None):
+                   fold: int = 1, schedule: Optional[tuple] = None,
+                   edge_margin: float = 0.0):
     """Variant of _stages that re-sorts paths by origin locality after
     every shade, so ray blocks stay coherent and the flash kernels' tile
     culling prunes on secondary bounces too. The film sum becomes a
@@ -388,7 +391,8 @@ def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False,
                 )
             else:
                 res, attrs = classify_flash_hit2(
-                    t, idx, attrs, t2, idx2, attrs2, st.ro, st.rd
+                    t, idx, attrs, t2, idx2, attrs2, st.ro, st.rd,
+                    edge_margin=edge_margin,
                 )
             st2, nee_pack = trace_mod.bounce_pre(
                 scene, cfg, cam, bounce, st, res,
@@ -620,7 +624,9 @@ def render_batch_staged(
     held = None  # (radiance, prev_nee, pending_shadow, finish) awaiting occ
     for k in range(0, n_samples, fold):
         g = min(fold, n_samples - k)
-        init, pres, finish = _stages(cfg, fold=g)
+        init, pres, finish = _stages(
+            cfg, fold=g, edge_margin=near_edge_margin(prec)
+        )
         pxg, pyg, offg = (
             tiled if g == fold else _tile_inputs((px, py, offsets), g)
         )
@@ -745,7 +751,9 @@ def _pilot_schedule(
     stride = max(1, px.shape[0] // 8192)
     ppx, ppy, poff = px[::stride], py[::stride], offsets[::stride]
     g16 = scene.tri_feats16
-    init, pres, _ = _stages_sorted(cfg, fold=1, schedule=None)
+    init, pres, _ = _stages_sorted(
+        cfg, fold=1, schedule=None, edge_margin=near_edge_margin(prec)
+    )
     st, feats, sidx, lane2px = init(
         cam, ppx, ppy, jnp.uint32(sample_start), poff
     )
@@ -797,7 +805,10 @@ def _render_batch_sorted(
     def run_group(k, g, schedule, film_in, oflow):
         """One fold-group of g samples; returns the updated film
         (+ oflow and per-bounce keep counts in the respective modes)."""
-        init, pres, finish = _stages_sorted(cfg, fold=g, schedule=schedule)
+        init, pres, finish = _stages_sorted(
+            cfg, fold=g, schedule=schedule,
+            edge_margin=near_edge_margin(prec),
+        )
         pxg, pyg, offg = (
             tiled if g == fold else _tile_inputs((px, py, offsets), g)
         )

@@ -101,7 +101,9 @@ class Viewer:
                 nee=NextEventEstimation((int(cfg.nee) + 1) % 3)
             )
         elif key == "t":  # cycle tonemap operator
-            self.tonemap = Tonemapping((int(self.tonemap) + 1) % 6)
+            self.tonemap = Tonemapping(
+                (int(self.tonemap) + 1) % len(Tonemapping)
+            )
         elif key == "x":  # toggle denoise
             self.settings.denoise = not self.settings.denoise
         elif key == "p":  # save PNG

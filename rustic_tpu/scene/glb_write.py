@@ -42,7 +42,28 @@ class MaterialSpec:
     emissive: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     transmission: float = 0.0
     ior: float = 1.5
+    # Indices into write_glb's `textures` list (embedded PNG images).
+    # The loader (scene/gltf.py:241-252) reads baseColorTexture (sRGB,
+    # decoded to linear at load), metallicRoughnessTexture (B=metallic,
+    # G=roughness) and normalTexture.
+    base_color_texture: Optional[int] = None
+    metallic_roughness_texture: Optional[int] = None
+    normal_texture: Optional[int] = None
     name: str = "material"
+
+
+def _encode_png(image) -> bytes:
+    """[H, W, 3|4] uint8 or float in [0,1] -> PNG bytes."""
+    import io
+
+    from PIL import Image
+
+    arr = np.asarray(image)
+    if arr.dtype != np.uint8:
+        arr = (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
 
 
 def _align(b: bytearray, n: int, pad: bytes = b"\x00"):
@@ -50,7 +71,14 @@ def _align(b: bytearray, n: int, pad: bytes = b"\x00"):
         b.extend(pad)
 
 
-def write_glb(path: str, meshes: List[MeshSpec], materials: List[MaterialSpec]):
+def write_glb(
+    path: str,
+    meshes: List[MeshSpec],
+    materials: List[MaterialSpec],
+    textures: Optional[List[np.ndarray]] = None,
+):
+    """`textures` is a list of [H, W, 3|4] images (uint8 or float in
+    [0,1]) embedded as PNG; MaterialSpec texture fields index into it."""
     bin_blob = bytearray()
     buffer_views = []
     accessors = []
@@ -108,18 +136,42 @@ def write_glb(path: str, meshes: List[MeshSpec], materials: List[MaterialSpec]):
         )
         nodes.append({"mesh": len(gltf_meshes) - 1, "name": m.name})
 
+    gltf_images = []
+    gltf_textures = []
+    for img in textures or []:
+        raw = _encode_png(img)
+        _align(bin_blob, 4)
+        offset = len(bin_blob)
+        bin_blob.extend(raw)
+        buffer_views.append(
+            {"buffer": 0, "byteOffset": offset, "byteLength": len(raw)}
+        )
+        gltf_images.append(
+            {"bufferView": len(buffer_views) - 1, "mimeType": "image/png"}
+        )
+        gltf_textures.append({"source": len(gltf_images) - 1, "sampler": 0})
+
     gltf_materials = []
     uses_ext = False
     for mat in materials:
+        pbr = {
+            "baseColorFactor": list(mat.base_color),
+            "metallicFactor": float(mat.metallic),
+            "roughnessFactor": float(mat.roughness),
+        }
+        if mat.base_color_texture is not None:
+            pbr["baseColorTexture"] = {"index": mat.base_color_texture}
+        if mat.metallic_roughness_texture is not None:
+            pbr["metallicRoughnessTexture"] = {
+                "index": mat.metallic_roughness_texture
+            }
         entry = {
             "name": mat.name,
-            "pbrMetallicRoughness": {
-                "baseColorFactor": list(mat.base_color),
-                "metallicFactor": float(mat.metallic),
-                "roughnessFactor": float(mat.roughness),
-            },
+            "pbrMetallicRoughness": pbr,
             "emissiveFactor": list(mat.emissive),
         }
+        if mat.normal_texture is not None:
+            entry["normalTexture"] = {"index": mat.normal_texture}
         if mat.transmission > 0.0:
             uses_ext = True
             entry["extensions"] = {
@@ -142,6 +194,10 @@ def write_glb(path: str, meshes: List[MeshSpec], materials: List[MaterialSpec]):
         "bufferViews": buffer_views,
         "accessors": accessors,
     }
+    if gltf_images:
+        gltf["images"] = gltf_images
+        gltf["textures"] = gltf_textures
+        gltf["samplers"] = [{"magFilter": 9729, "minFilter": 9729}]
     if uses_ext:
         gltf["extensionsUsed"] = [
             "KHR_materials_transmission",

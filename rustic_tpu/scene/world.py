@@ -289,6 +289,11 @@ def _fallback_skybox() -> np.ndarray:
 def load_skybox_image(path: str) -> np.ndarray:
     """Load an equirect skybox (HDR or LDR) to float32 [H, W, 4]
     (reference: src/asset.rs:238-255)."""
+    if path.lower().endswith(".npy"):
+        img = np.asarray(np.load(path), np.float32)
+        if img.shape[-1] == 3:
+            img = np.concatenate([img, np.ones_like(img[..., :1])], axis=-1)
+        return img
     if path.lower().endswith((".hdr", ".exr")):
         import imageio.v3 as iio
 

@@ -262,3 +262,160 @@ def test_top2_multitile_merge(furnace_scene):
         np.asarray(res.t)[both], np.asarray(brute.t)[both], rtol=1e-5
     )
     assert np.mean(~t_ok) < 0.01
+
+
+# ---------------------------------------------------------------------------
+# split-role dot ("mixed2": f32 det/t + bf16x3 u/v)
+# ---------------------------------------------------------------------------
+
+
+def test_mixed2_nearest_ranking_matches_f32(cornell):
+    """mixed2's ranking columns (det, t) are exact f32, so hits and
+    winners agree with the oracle except where the epsilon-expanded u/v
+    window or the raised det floor flips an edge/grazing pair."""
+    ro, rd = _rays(512, 21)
+    feats = _ray_features16(ro, rd)
+    t_f, idx_f, _, _ = flash_nearest(
+        feats, cornell.tri_feats16, cornell.tile_aabbs,
+        interpret=True, precision="f32",
+    )
+    t_m, idx_m, t2, i2 = flash_nearest(
+        feats, cornell.tri_feats16, cornell.tile_aabbs,
+        interpret=True, precision="mixed2",
+    )
+    assert t2 is None and i2 is None  # no top-2 carry needed
+    hit_f = np.asarray(t_f) < BIG
+    hit_m = np.asarray(t_m) < BIG
+    assert np.mean(hit_f != hit_m) < 0.01
+    both = hit_f & hit_m
+    # t floored to 14-bit mantissa by the packed reduction, else exact
+    np.testing.assert_allclose(
+        np.asarray(t_m)[both], np.asarray(t_f)[both], rtol=1.3e-4
+    )
+    assert np.mean(np.asarray(idx_m)[both] != np.asarray(idx_f)[both]) < 0.005
+
+
+def test_mixed2_near_tie_resolves_exactly():
+    """The adversarial near-tie pairs that require a top-2 carry under
+    bf16x3 resolve exactly under mixed2 with NO carry: the t/det dot is
+    f32, so the packed min ranks them exactly (up to the shared 14-bit
+    t floor, ~6e-5 relative — the pair separations here sit above it;
+    unlike bf16x3's term-magnitude-relative noise, the floor is
+    scene-scale independent)."""
+    from rustic_tpu.ops import intersect as I
+    from rustic_tpu.ops.flash_intersect import pack_tri_feats16
+    from rustic_tpu.ops.intersect import classify_flash_hit2
+    from rustic_tpu.scene.world import _triangle_features
+
+    rng = np.random.default_rng(23)
+    n_pairs = 128
+    verts, tris = [], []
+    ro_l, rd_l = [], []
+    for k in range(n_pairs):
+        cx, cy = (k % 16) * 10.0, (k // 16) * 10.0
+        z = 1.0 + rng.uniform(0, 0.5)
+        dt = rng.uniform(5e-4, 2e-3) * (1 if k % 2 == 0 else -1)
+        for dz in (0.0, dt):
+            b = len(verts)
+            verts += [
+                [cx - 2, cy - 2, z + dz],
+                [cx + 2, cy - 2, z + dz],
+                [cx, cy + 2, z + dz],
+            ]
+            tris.append([b, b + 1, b + 2])
+        d = np.array([rng.uniform(-0.1, 0.1), rng.uniform(-0.1, 0.1), 1.0])
+        d /= np.linalg.norm(d)
+        ro_l.append([cx + rng.uniform(-0.5, 0.5), cy + rng.uniform(-0.5, 0.5), 0.0])
+        rd_l.append(d)
+    verts = np.asarray(verts, np.float32)
+    tris_np = np.asarray(tris, np.int64)
+    tf = _triangle_features(verts, tris_np)
+    g16 = jnp.asarray(pack_tri_feats16(tf))
+    aabbs = jnp.zeros((1, 8), jnp.float32)
+    ro = jnp.asarray(np.asarray(ro_l, np.float32))
+    rd = jnp.asarray(np.asarray(rd_l, np.float32))
+    feats = _ray_features16(ro, rd)
+
+    t1, i1, t2, i2 = flash_nearest(
+        feats, g16, aabbs, interpret=True, precision="mixed2"
+    )
+    assert t2 is None
+    table = np.zeros((len(tris_np), 9), np.float32)
+    for j, (a, b, c) in enumerate(tris_np):
+        table[j] = np.concatenate([verts[a], verts[b], verts[c]])
+    table = jnp.asarray(table)
+    res, _ = classify_flash_hit2(
+        t1, i1, table[i1], None, None, None, ro, rd, edge_margin=1e-3
+    )
+    brute = I.intersect_brute(jnp.asarray(tf), ro, rd)
+    np.testing.assert_array_equal(np.asarray(res.hit), np.asarray(brute.hit))
+    hit = np.asarray(brute.hit)
+    np.testing.assert_array_equal(
+        np.asarray(res.tri_idx)[hit], np.asarray(brute.tri_idx)[hit]
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.t)[hit], np.asarray(brute.t)[hit], rtol=1e-6
+    )
+
+
+def test_mixed2_anyhit_matches_mixed(cornell):
+    """mixed2's any-hit side is the same bf16x3 split as mixed, just
+    computed from the [det|t]/[u|v] regrouped operands."""
+    ro, rd = _rays(512, 25)
+    feats = _ray_features16(ro, rd)
+    sh_ro, sh_rd = _rays(512, 26)
+    shadow = _ray_features16(sh_ro, sh_rd).at[:, 10].set(2.0)
+    t_a, i_a, occ_a, _, _ = flash_nearest_shadow(
+        feats, shadow, cornell.tri_feats16, cornell.tile_aabbs,
+        interpret=True, precision="mixed2",
+    )
+    occ_m = np.asarray(
+        flash_occlude(
+            shadow, shadow[:, 10], cornell.tri_feats16, cornell.tile_aabbs,
+            interpret=True, precision="bf16x3",
+        )
+    )
+    np.testing.assert_array_equal(np.asarray(occ_a), occ_m)
+    # merged nearest side agrees with the standalone mixed2 nearest
+    t_n, i_n, _, _ = flash_nearest(
+        feats, cornell.tri_feats16, cornell.tile_aabbs,
+        interpret=True, precision="mixed2",
+    )
+    np.testing.assert_array_equal(np.asarray(t_a), np.asarray(t_n))
+    np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_n))
+
+
+def test_mixed2_multitile_merge(furnace_scene):
+    """Multi-tile merge under mixed2: winners match brute exactly away
+    from edge-margin admits."""
+    from rustic_tpu.ops import intersect as I
+    from rustic_tpu.ops.intersect import classify_flash_hit2, gather_attr_rows
+
+    scene = furnace_scene
+    rng = np.random.default_rng(27)
+    n = 512
+    ro = jnp.asarray(rng.normal(0, 0.5, (n, 3)).astype(np.float32))
+    rd = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    rd = jnp.asarray(rd)
+    feats = _ray_features16(ro, rd)
+    t1, i1, t2, i2 = flash_nearest(
+        feats, scene.tri_feats16, scene.tile_aabbs,
+        interpret=True, precision="mixed2",
+    )
+    assert t2 is None
+    res, _ = classify_flash_hit2(
+        t1, i1, gather_attr_rows(scene, i1), None, None, None, ro, rd,
+        edge_margin=1e-3,
+    )
+    brute = I.intersect_brute(scene.tri_feats, ro, rd)
+    hit_match = np.asarray(res.hit) == np.asarray(brute.hit)
+    assert np.mean(~hit_match) < 0.01
+    both = np.asarray(res.hit) & np.asarray(brute.hit)
+    idx_match = np.asarray(res.tri_idx)[both] == np.asarray(brute.tri_idx)[both]
+    assert np.mean(~idx_match) < 0.01
+    # every winner flip is a genuine tie within the 14-bit t floor —
+    # the exact re-tested t still matches brute to the floor
+    np.testing.assert_allclose(
+        np.asarray(res.t)[both], np.asarray(brute.t)[both], rtol=1.5e-4
+    )

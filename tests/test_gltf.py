@@ -55,3 +55,56 @@ def test_normals_unit_length():
     s = load_glb(scene_path("VeachMIS.glb"))
     norms = np.linalg.norm(s.normals, axis=-1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+
+def test_textured_glb_roundtrip(tmp_path):
+    """write_glb embeds PNG textures the loader decodes back: baseColor
+    (sRGB->linear), metallicRoughness (B/G split), normal map."""
+    from rustic_tpu.scene.glb_write import MaterialSpec, MeshSpec, quad, write_glb
+
+    albedo = np.zeros((8, 8, 3), np.float32)
+    albedo[..., 0] = 0.5  # mid-gray red channel
+    mr = np.zeros((8, 8, 3), np.float32)
+    mr[..., 1] = 0.25  # roughness G
+    mr[..., 2] = 1.0  # metallic B
+    nmap = np.full((8, 8, 3), 0.5, np.float32)
+    nmap[..., 2] = 1.0  # flat tangent-space normal
+
+    p, i, n = quad((0, 0, 0), (1, 0, 0), (0, 1, 0))
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    mat = MaterialSpec(
+        base_color_texture=0, metallic_roughness_texture=1, normal_texture=2
+    )
+    path = str(tmp_path / "t.glb")
+    write_glb(
+        path,
+        [MeshSpec(p, i, 0, normals=n, uv0=uv)],
+        [mat],
+        textures=[albedo, mr, nmap],
+    )
+    s = load_glb(path)
+    m = s.materials[0]
+    assert m.albedo_texture is not None
+    # loader applies pow(2.2) sRGB->linear to albedo (src/asset.rs:142-147)
+    got = m.albedo_texture[0, 0, 0]
+    np.testing.assert_allclose(got, 0.5 ** 2.2, atol=0.01)
+    np.testing.assert_allclose(m.albedo_texture[0, 0, 1], 0.0, atol=1e-3)
+    # metallicRoughness split: metallic from B, roughness from G
+    np.testing.assert_allclose(m.metallic_texture[0, 0, 0], 1.0, atol=0.01)
+    np.testing.assert_allclose(m.roughness_texture[0, 0, 0], 0.25, atol=0.01)
+    # normal map decodes to ~(0.5, 0.5, 1.0) raw
+    np.testing.assert_allclose(m.normal_texture[0, 0, 2], 1.0, atol=0.01)
+    # UVs survive
+    assert s.uv0.max() == 1.0
+
+
+def test_break_time_scene_loads():
+    """BASELINE config #5's generated stand-in: textured + normal-mapped
+    multi-tile scene with an emissive panel."""
+    s = load_glb(scene_path("BreakTime.glb"))
+    has_alb = any(m.albedo_texture is not None for m in s.materials)
+    has_nm = any(m.normal_texture is not None for m in s.materials)
+    has_mr = any(m.metallic_texture is not None for m in s.materials)
+    has_em = any(max(m.emissive) > 0 for m in s.materials)
+    assert has_alb and has_nm and has_mr and has_em
+    assert len(s.triangles) > 10000

@@ -44,3 +44,26 @@ def test_aces_hill_neutral_for_gray():
     x = jnp.full((1, 3), 0.18)
     y = np.asarray(apply_tonemap(x, Tonemapping.ACES_HILL, gamma_encode=False))
     assert np.abs(y - y.mean()).max() < 0.01  # stays near-achromatic
+
+
+def test_aces_narkowicz_pre_exposure():
+    """The default ACES applies x0.6 pre-exposure (render.wgsl:136);
+    the overexposed variant is the bare curve (:139-140)."""
+    import jax.numpy as jnp
+
+    from rustic_tpu.config import Tonemapping
+
+    x = jnp.full((1, 3), 1.0)
+    default = np.asarray(
+        apply_tonemap(x, Tonemapping.ACES_NARKOWICZ, gamma_encode=False)
+    )
+    over = np.asarray(
+        apply_tonemap(
+            x, Tonemapping.ACES_NARKOWICZ_OVEREXPOSED, gamma_encode=False
+        )
+    )
+    assert (default < over).all()
+    a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
+    v = 0.6
+    expect = (v * (a * v + b)) / (v * (c * v + d) + e)
+    np.testing.assert_allclose(default, expect, rtol=1e-6)
