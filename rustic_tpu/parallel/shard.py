@@ -88,6 +88,23 @@ def _compiled_sharded(mesh_key, cfg: StaticConfig, n_samples: int, engine: str):
 _MESHES = {}
 
 
+def assemble_film(film_local: np.ndarray) -> np.ndarray:
+    """Multi-host film assembly over DCN.
+
+    Each host renders a slice of the frame (tile-split of the film); the
+    full frame is gathered across processes. The reference has no
+    multi-node layer at all (SURVEY §2) — this is the TPU-pod analog of
+    its single readback (src/trace.rs:198). Single-process runs return
+    the input unchanged, so the call is safe everywhere."""
+    if jax.process_count() == 1:
+        return np.asarray(film_local)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(
+        multihost_utils.process_allgather(jnp.asarray(film_local))
+    ).reshape(-1, *np.asarray(film_local).shape[1:])
+
+
 def render_sharded(
     scene,
     config: TracingConfig,

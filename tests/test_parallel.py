@@ -64,3 +64,14 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_assemble_film_single_process():
+    """Multi-host film assembly degrades to identity in one process."""
+    import numpy as np
+
+    from rustic_tpu.parallel.shard import assemble_film
+
+    film = np.arange(12, dtype=np.float32).reshape(4, 3)
+    out = assemble_film(film)
+    np.testing.assert_array_equal(out, film)
