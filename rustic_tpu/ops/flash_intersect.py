@@ -321,6 +321,15 @@ class _DotPlan:
         self.g_widths = widths[precision]
         self.ng = len(self.g_widths)
         self.g0_tts = self.g_widths[0]
+        # operand element sizes (f32 full / bf16 hi+lo), matching g_widths
+        sizes = {
+            "f32": [4],
+            "bf16x3": [2, 2],
+            "mixed": [4, 2, 2],
+            "near2": [4, 2, 2],
+            "mixed2": [4, 2, 2, 2, 2],
+        }
+        self.g_itemsizes = sizes[precision]
 
     def g_operands(self, tri_feats16):
         if self.precision in ("near2", "mixed2"):
@@ -741,6 +750,96 @@ def _nearest_multi(plan):
     return kernel
 
 
+def _g_tile(g_refs, nt, j):
+    """Static per-tile slices of resident full-G refs."""
+    return tuple(
+        r[:, j * (r.shape[-1] // nt) : (j + 1) * (r.shape[-1] // nt)]
+        for r in g_refs
+    )
+
+
+def _nearest_resident(plan, nt):
+    """Multi-tile nearest with the WHOLE triangle table resident in VMEM
+    and the tile loop unrolled in-kernel: one grid step per ray block,
+    so fine tile granularity no longer pays the per-grid-step overhead
+    that made small $RUSTIC_TT lose (PERFORMANCE.md). Tiles are visited
+    in build order; each @pl.when body reads its slice only when the
+    block-level slab test passes, with the running best-t as the cull
+    limit exactly as in _nearest_multi."""
+    ng = plan.ng
+
+    def kernel(*refs):
+        f_ref = refs[0]
+        g_refs = refs[1 : 1 + ng]
+        aabb_ref = refs[1 + ng]
+        near_refs = refs[2 + ng :]
+        tt = g_refs[0].shape[-1] // nt // plan.g0_tts
+        _init_near(near_refs)
+        f = f_ref[...]
+        for j in range(nt):
+            aabb_row = aabb_ref[j, :]
+
+            @pl.when(_tile_possible(f, aabb_row, _cull_limit(plan, near_refs)))
+            def _(j=j):
+                _merge_near(plan, f, _g_tile(g_refs, nt, j), tt, j, near_refs)
+
+    return kernel
+
+
+def _nearest_shadow_resident(plan, nt):
+    ng = plan.ng
+    nn = _n_near(plan)
+
+    def kernel(*refs):
+        f_ref, sh_ref = refs[0], refs[1]
+        g_refs = refs[2 : 2 + ng]
+        aabb_ref = refs[2 + ng]
+        near_refs = refs[3 + ng : 3 + ng + nn]
+        occ_ref = refs[3 + ng + nn]
+        tt = g_refs[0].shape[-1] // nt // plan.g0_tts
+        _init_near(near_refs)
+        occ_ref[...] = jnp.zeros_like(occ_ref)
+        f = f_ref[...]
+        sh = sh_ref[...]
+        for j in range(nt):
+            aabb_row = aabb_ref[j, :]
+
+            @pl.when(_tile_possible(f, aabb_row, _cull_limit(plan, near_refs)))
+            def _(j=j):
+                _merge_near(plan, f, _g_tile(g_refs, nt, j), tt, j, near_refs)
+
+            @pl.when(_tile_possible(sh, aabb_row, sh[SH_MAXT_COL, :]))
+            def _(j=j):
+                occ_ref[0, :] = occ_ref[0, :] | _tile_anyhit(
+                    plan, sh, _g_tile(g_refs, nt, j), tt
+                )
+
+    return kernel
+
+
+def _occlude_resident(plan, nt):
+    ng = plan.ng
+
+    def kernel(*refs):
+        f_ref = refs[0]
+        g_refs = refs[1 : 1 + ng]
+        aabb_ref = refs[1 + ng]
+        occ_ref = refs[2 + ng]
+        tt = g_refs[0].shape[-1] // nt // plan.g0_tts
+        occ_ref[...] = jnp.zeros_like(occ_ref)
+        f = f_ref[...]
+        for j in range(nt):
+            aabb_row = aabb_ref[j, :]
+
+            @pl.when(_tile_possible(f, aabb_row, f[SH_MAXT_COL, :]))
+            def _(j=j):
+                occ_ref[0, :] = occ_ref[0, :] | _tile_anyhit(
+                    plan, f, _g_tile(g_refs, nt, j), tt
+                )
+
+    return kernel
+
+
 def _nearest_shadow_single(plan):
     ng = plan.ng
     nn = _n_near(plan)
@@ -902,6 +1001,52 @@ def _g_specs(plan, tt):
     ]
 
 
+# ---- resident-G mode (multi-tile, whole triangle table in VMEM) ----------
+# One grid step per ray block; the tile loop is unrolled in-kernel, so
+# fine $RUSTIC_TT granularity stops paying per-grid-step overhead.
+RESIDENT_MAX_TILES = 32
+RESIDENT_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def use_resident(precision: str, tri_feats16, role: str = "near") -> bool:
+    """Static choice (made OUTSIDE jit so env changes take effect per
+    call): resident mode when the scene is multi-tile, the unroll stays
+    compile-friendly, and every G operand fits the VMEM budget."""
+    if os.environ.get("RUSTIC_RESIDENT", "1") != "1":
+        return False
+    # "merged" = the nearest+shadow kernels, which take the full plan
+    plan = _DotPlan(precision) if role == "merged" else _plan_for(precision, role)
+    t_pad, tt, nt = _geometry(tri_feats16)
+    if nt < 2 or nt > int(
+        os.environ.get("RUSTIC_RESIDENT_MAX", RESIDENT_MAX_TILES)
+    ):
+        return False
+    g_bytes = 16 * t_pad * sum(
+        w * s for w, s in zip(plan.g_widths, plan.g_itemsizes)
+    )
+    return g_bytes <= RESIDENT_VMEM_BUDGET
+
+
+def _g_specs_full(plan, tt, nt):
+    return [
+        pl.BlockSpec(
+            (16, w * tt * nt), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        for w in plan.g_widths
+    ]
+
+
+_RAY_SPEC1 = lambda bt: pl.BlockSpec(  # noqa: E731
+    (16, bt), lambda i: (0, i), memory_space=pltpu.VMEM
+)
+_ROW_SPEC1 = lambda bt: pl.BlockSpec(  # noqa: E731
+    (1, bt), lambda i: (0, i), memory_space=pltpu.VMEM
+)
+_AABB_SPEC1 = lambda nt: pl.BlockSpec(  # noqa: E731
+    (nt, 8), lambda i: (0, 0), memory_space=pltpu.VMEM
+)
+
+
 _RAY_SPEC = lambda bt: pl.BlockSpec(  # noqa: E731
     (16, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM
 )
@@ -919,11 +1064,11 @@ def _params(interpret):
     return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
-def _near_out(plan, bt, nb):
+def _near_out(plan, bt, nb, row_spec=None):
     """(out_specs, out_shapes) for the nearest result rows — (t, idx)
     plus (t2, idx2) under a top-2 plan."""
     nn = _n_near(plan)
-    specs = [_ROW_SPEC(bt)] * nn
+    specs = [(row_spec or _ROW_SPEC)(bt)] * nn
     shapes = [
         jax.ShapeDtypeStruct(
             (1, nb * bt), jnp.float32 if k % 2 == 0 else jnp.int32
@@ -953,10 +1098,13 @@ def flash_nearest(feats, tri_feats16, tile_aabbs, bt=DEF_BT,
     return _flash_nearest(
         feats, tri_feats16, tile_aabbs, bt=bt, interpret=interpret,
         precision=precision,
+        resident=use_resident(precision, tri_feats16, "near"),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("bt", "interpret", "precision"))
+@functools.partial(
+    jax.jit, static_argnames=("bt", "interpret", "precision", "resident")
+)
 def _flash_nearest(
     feats: jnp.ndarray,
     tri_feats16: jnp.ndarray,
@@ -964,21 +1112,32 @@ def _flash_nearest(
     bt: int,
     interpret: bool,
     precision: str,
+    resident: bool = False,
 ):
     plan = _plan_for(precision, "near")
     feats, b, nb = _pad_rays(feats, bt)
     t_pad, tt, nt = _geometry(tri_feats16)
     g_ops = plan.g_operands(tri_feats16)
-    kernel = (_nearest_single if nt == 1 else _nearest_multi)(plan)
-    in_specs = [_RAY_SPEC(bt)] + _g_specs(plan, tt)
-    operands = [feats, *g_ops]
-    if nt > 1:
-        in_specs.append(_AABB_SPEC(nt))
-        operands.append(tile_aabbs)
-    out_specs, out_shapes = _near_out(plan, bt, nb)
+    if resident and nt > 1:
+        kernel = _nearest_resident(plan, nt)
+        grid = (nb,)
+        in_specs = (
+            [_RAY_SPEC1(bt)] + _g_specs_full(plan, tt, nt) + [_AABB_SPEC1(nt)]
+        )
+        operands = [feats, *g_ops, tile_aabbs]
+        out_specs, out_shapes = _near_out(plan, bt, nb, row_spec=_ROW_SPEC1)
+    else:
+        kernel = (_nearest_single if nt == 1 else _nearest_multi)(plan)
+        grid = (nb, nt)
+        in_specs = [_RAY_SPEC(bt)] + _g_specs(plan, tt)
+        operands = [feats, *g_ops]
+        if nt > 1:
+            in_specs.append(_AABB_SPEC(nt))
+            operands.append(tile_aabbs)
+        out_specs, out_shapes = _near_out(plan, bt, nb)
     outs = pl.pallas_call(
         kernel,
-        grid=(nb, nt),
+        grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -1115,10 +1274,13 @@ def flash_nearest_shadow(feats, shadow_feats, tri_feats16, tile_aabbs,
     return _flash_nearest_shadow(
         feats, shadow_feats, tri_feats16, tile_aabbs, bt=bt,
         interpret=interpret, precision=precision,
+        resident=use_resident(precision, tri_feats16, "merged"),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("bt", "interpret", "precision"))
+@functools.partial(
+    jax.jit, static_argnames=("bt", "interpret", "precision", "resident")
+)
 def _flash_nearest_shadow(
     feats: jnp.ndarray,
     shadow_feats: jnp.ndarray,
@@ -1127,24 +1289,39 @@ def _flash_nearest_shadow(
     bt: int,
     interpret: bool,
     precision: str,
+    resident: bool = False,
 ):
     plan = _DotPlan(precision)
     feats, b, nb = _pad_rays(feats, bt)
     shadow_feats, _, _ = _pad_rays(shadow_feats, bt)
     t_pad, tt, nt = _geometry(tri_feats16)
     g_ops = plan.g_operands(tri_feats16)
-    kernel = (_nearest_shadow_single if nt == 1 else _nearest_shadow_multi)(plan)
-    in_specs = [_RAY_SPEC(bt), _RAY_SPEC(bt)] + _g_specs(plan, tt)
-    operands = [feats, shadow_feats, *g_ops]
-    if nt > 1:
-        in_specs.append(_AABB_SPEC(nt))
-        operands.append(tile_aabbs)
-    near_specs, near_shapes = _near_out(plan, bt, nb)
+    if resident and nt > 1:
+        kernel = _nearest_shadow_resident(plan, nt)
+        grid = (nb,)
+        in_specs = (
+            [_RAY_SPEC1(bt), _RAY_SPEC1(bt)]
+            + _g_specs_full(plan, tt, nt)
+            + [_AABB_SPEC1(nt)]
+        )
+        operands = [feats, shadow_feats, *g_ops, tile_aabbs]
+        near_specs, near_shapes = _near_out(plan, bt, nb, row_spec=_ROW_SPEC1)
+        occ_spec = _ROW_SPEC1(bt)
+    else:
+        kernel = (_nearest_shadow_single if nt == 1 else _nearest_shadow_multi)(plan)
+        grid = (nb, nt)
+        in_specs = [_RAY_SPEC(bt), _RAY_SPEC(bt)] + _g_specs(plan, tt)
+        operands = [feats, shadow_feats, *g_ops]
+        if nt > 1:
+            in_specs.append(_AABB_SPEC(nt))
+            operands.append(tile_aabbs)
+        near_specs, near_shapes = _near_out(plan, bt, nb)
+        occ_spec = _ROW_SPEC(bt)
     outs = pl.pallas_call(
         kernel,
-        grid=(nb, nt),
+        grid=grid,
         in_specs=in_specs,
-        out_specs=near_specs + [_ROW_SPEC(bt)],
+        out_specs=near_specs + [occ_spec],
         out_shape=near_shapes
         + [jax.ShapeDtypeStruct((1, nb * bt), jnp.int32)],
         compiler_params=_params(interpret),
@@ -1163,10 +1340,13 @@ def flash_occlude_packed(feats, tri_feats16, tile_aabbs, bt=DEF_BT,
     return _flash_occlude_packed(
         feats, tri_feats16, tile_aabbs, bt=bt, interpret=interpret,
         precision=precision,
+        resident=use_resident(precision, tri_feats16, "any"),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("bt", "interpret", "precision"))
+@functools.partial(
+    jax.jit, static_argnames=("bt", "interpret", "precision", "resident")
+)
 def _flash_occlude_packed(
     feats: jnp.ndarray,
     tri_feats16: jnp.ndarray,
@@ -1174,22 +1354,34 @@ def _flash_occlude_packed(
     bt: int,
     interpret: bool,
     precision: str,
+    resident: bool = False,
 ):
     plan = _plan_for(precision, "any")
     feats, b, nb = _pad_rays(feats, bt)
     t_pad, tt, nt = _geometry(tri_feats16)
     g_ops = plan.g_operands(tri_feats16)
-    kernel = (_occlude_single if nt == 1 else _occlude_multi)(plan)
-    in_specs = [_RAY_SPEC(bt)] + _g_specs(plan, tt)
-    operands = [feats, *g_ops]
-    if nt > 1:
-        in_specs.append(_AABB_SPEC(nt))
-        operands.append(tile_aabbs)
+    if resident and nt > 1:
+        kernel = _occlude_resident(plan, nt)
+        grid = (nb,)
+        in_specs = (
+            [_RAY_SPEC1(bt)] + _g_specs_full(plan, tt, nt) + [_AABB_SPEC1(nt)]
+        )
+        operands = [feats, *g_ops, tile_aabbs]
+        occ_spec = _ROW_SPEC1(bt)
+    else:
+        kernel = (_occlude_single if nt == 1 else _occlude_multi)(plan)
+        grid = (nb, nt)
+        in_specs = [_RAY_SPEC(bt)] + _g_specs(plan, tt)
+        operands = [feats, *g_ops]
+        if nt > 1:
+            in_specs.append(_AABB_SPEC(nt))
+            operands.append(tile_aabbs)
+        occ_spec = _ROW_SPEC(bt)
     occ = pl.pallas_call(
         kernel,
-        grid=(nb, nt),
+        grid=grid,
         in_specs=in_specs,
-        out_specs=_ROW_SPEC(bt),
+        out_specs=occ_spec,
         out_shape=jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),
         compiler_params=_params(interpret),
         interpret=interpret,

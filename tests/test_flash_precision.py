@@ -419,3 +419,86 @@ def test_mixed2_multitile_merge(furnace_scene):
     np.testing.assert_allclose(
         np.asarray(res.t)[both], np.asarray(brute.t)[both], rtol=1.5e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# resident-G multi-tile kernels (in-kernel unrolled tile loop)
+# ---------------------------------------------------------------------------
+
+
+def test_resident_nearest_matches_streamed(furnace_scene):
+    """The resident-G kernel (whole triangle table in VMEM, unrolled
+    tile loop) must agree exactly with the streamed grid formulation —
+    same math, same tile visit order, no grid dimension."""
+    from rustic_tpu.ops.flash_intersect import (
+        _flash_nearest,
+        _flash_nearest_shadow,
+        _flash_occlude_packed,
+        use_resident,
+    )
+
+    scene = furnace_scene
+    assert use_resident("f32", scene.tri_feats16, "near")
+    rng = np.random.default_rng(31)
+    n = 700  # not a block multiple: exercises ray padding
+    ro = jnp.asarray(rng.normal(0, 0.5, (n, 3)).astype(np.float32))
+    rd = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    rd = jnp.asarray(rd)
+    feats = _ray_features16(ro, rd)
+    sh_ro, sh_rd = _rays(n, 32)
+    shadow = _ray_features16(sh_ro, sh_rd).at[:, 10].set(2.0)
+
+    for prec in ("f32", "mixed", "mixed2", "bf16x3"):
+        a = _flash_nearest(
+            feats, scene.tri_feats16, scene.tile_aabbs, bt=256,
+            interpret=True, precision=prec, resident=False,
+        )
+        b = _flash_nearest(
+            feats, scene.tri_feats16, scene.tile_aabbs, bt=256,
+            interpret=True, precision=prec, resident=True,
+        )
+        for x, y in zip(a, b):
+            if x is None:
+                assert y is None
+            else:
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+        sa = _flash_nearest_shadow(
+            feats, shadow, scene.tri_feats16, scene.tile_aabbs, bt=256,
+            interpret=True, precision=prec, resident=False,
+        )
+        sb = _flash_nearest_shadow(
+            feats, shadow, scene.tri_feats16, scene.tile_aabbs, bt=256,
+            interpret=True, precision=prec, resident=True,
+        )
+        for x, y in zip(sa, sb):
+            if x is None:
+                assert y is None
+            else:
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+        oa = _flash_occlude_packed(
+            shadow, scene.tri_feats16, scene.tile_aabbs, bt=256,
+            interpret=True, precision=prec, resident=False,
+        )
+        ob = _flash_occlude_packed(
+            shadow, scene.tri_feats16, scene.tile_aabbs, bt=256,
+            interpret=True, precision=prec, resident=True,
+        )
+        np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
+
+
+def test_use_resident_gates():
+    from rustic_tpu.ops.flash_intersect import (
+        RESIDENT_VMEM_BUDGET,
+        use_resident,
+    )
+
+    # single-tile scenes never use resident mode
+    g1 = jnp.zeros((16, 4 * 512), jnp.float32)
+    assert not use_resident("f32", g1, "near")
+    # VMEM budget gate: a huge table falls back to streaming
+    big_cols = 4 * 512 * (RESIDENT_VMEM_BUDGET // (16 * 512 * 4) + 8)
+    g_big = jnp.zeros((16, big_cols), jnp.float32)
+    assert not use_resident("f32", g_big, "near")

@@ -1,0 +1,163 @@
+"""One-shot TPU measurement roundup for the pending round-3 work.
+
+Runs, in one process (so compile caches and the tunnel warm once):
+  1. headline DarkCornell bench under dot=mixed vs mixed2
+  2. DarkCornell repacked at fine tile sizes (RUSTIC_TT) — resident
+     kernels vs streamed grid
+  3. multi-tile scenes (FurnaceTest / VeachMIS / PBRTest / BreakTime)
+     resident vs streamed at their default packing
+  4. furnace correctness probe under mixed2
+
+Each measurement prints one JSON line; the script never aborts a
+section on failure (prints the error and moves on). Timings hard-sync
+through np.asarray (block_until_ready can return early on axon).
+
+Usage: python tools/tpu_roundup.py [--spp 40] [--sections 1,2,3,4]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+SCENES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "assets", "scenes",
+)
+
+
+def _render_rate(scene, w, h, spp, nee="mis", warm_spp=2, skybox=None,
+                 cam=None):
+    """Mpaths/s for one timed render (after a warmup at the same shapes)."""
+    from rustic_tpu.config import (
+        NextEventEstimation,
+        RenderSettings,
+        TracingConfig,
+    )
+    from rustic_tpu.runtime.render import render_image
+
+    nee_v = {
+        "mis": NextEventEstimation.MIS,
+        "off": NextEventEstimation.NONE,
+    }[nee]
+    kwargs = dict(width=w, height=h, nee=nee_v)
+    if skybox is not None:
+        kwargs["has_skybox"] = True
+    if cam is not None:
+        kwargs["cam_position"] = cam
+    config = TracingConfig(**kwargs)
+    film = render_image(scene, config, RenderSettings(samples=warm_spp))
+    np.asarray(film[:1])
+    t0 = time.time()
+    film = render_image(scene, config, RenderSettings(samples=spp))
+    np.asarray(film[:1])
+    wall = time.time() - t0
+    return w * h * spp / wall / 1e6, wall
+
+
+def _load(name, skybox=None):
+    from rustic_tpu.scene.world import World, load_skybox_image
+
+    world = World.from_path(os.path.join(SCENES, name))
+    sb = load_skybox_image(os.path.join(SCENES, skybox)) if skybox else None
+    return world.to_device(sb)
+
+
+def emit(**kv):
+    print(json.dumps(kv), flush=True)
+
+
+def section_1(spp):
+    scene = _load("DarkCornell.glb")
+    for dot in ("mixed", "mixed2", "mixed", "mixed2"):  # interleaved
+        os.environ["RUSTIC_FLASH_DOT"] = dot
+        try:
+            rate, wall = _render_rate(scene, 1280, 720, spp)
+            emit(section=1, dot=dot, mpaths=round(rate, 2),
+                 wall_s=round(wall, 2))
+        except Exception as e:
+            emit(section=1, dot=dot, error=str(e))
+    os.environ.pop("RUSTIC_FLASH_DOT", None)
+
+
+def section_2(spp):
+    for tt in (512, 128, 64):
+        os.environ["RUSTIC_TT"] = str(tt)
+        try:
+            scene = _load("DarkCornell.glb")  # repacks at this TT
+            for resident in ("1", "0") if tt != 512 else ("1",):
+                os.environ["RUSTIC_RESIDENT"] = resident
+                rate, wall = _render_rate(scene, 1280, 720, spp)
+                emit(section=2, tt=tt, resident=resident,
+                     mpaths=round(rate, 2), wall_s=round(wall, 2))
+        except Exception as e:
+            emit(section=2, tt=tt, error=str(e))
+    os.environ.pop("RUSTIC_TT", None)
+    os.environ.pop("RUSTIC_RESIDENT", None)
+
+
+def section_3(spp):
+    cases = [
+        ("FurnaceTest.glb", None, None),
+        ("VeachMIS.glb", None, None),
+        ("PBRTest.glb", None, None),
+        ("BreakTime.glb", "BreakTimeSky.npy", (0.0, 1.8, -3.2)),
+    ]
+    for name, sky, cam in cases:
+        try:
+            scene = _load(name, sky)
+            for resident in ("0", "1", "0", "1"):
+                os.environ["RUSTIC_RESIDENT"] = resident
+                rate, wall = _render_rate(
+                    scene, 256, 144, max(spp // 4, 4), skybox=sky, cam=cam
+                )
+                emit(section=3, scene=name, resident=resident,
+                     mpaths=round(rate, 3), wall_s=round(wall, 2))
+        except Exception as e:
+            emit(section=3, scene=name, error=str(e))
+    os.environ.pop("RUSTIC_RESIDENT", None)
+
+
+def section_4(_spp):
+    from rustic_tpu.config import NextEventEstimation, TracingConfig
+    from rustic_tpu.runtime.render import render_pixels
+
+    scene = _load("FurnaceTest.glb")
+    for dot in ("mixed", "mixed2"):
+        os.environ["RUSTIC_FLASH_DOT"] = dot
+        try:
+            for nee, label in (
+                (NextEventEstimation.NONE, "off"),
+                (NextEventEstimation.MIS, "mis"),
+            ):
+                config = TracingConfig(width=128, height=128, nee=nee)
+                film = render_pixels(
+                    scene, config, np.array([65]), np.array([75]), 32
+                )
+                probe = float((np.asarray(film)[0, 0] / 32.0) ** (1 / 2.2))
+                emit(section=4, dot=dot, nee=label, probe=round(probe, 4),
+                     gate="0.8+-0.02")
+        except Exception as e:
+            emit(section=4, dot=dot, error=str(e))
+    os.environ.pop("RUSTIC_FLASH_DOT", None)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spp", type=int, default=40)
+    ap.add_argument("--sections", default="1,2,3,4")
+    args = ap.parse_args()
+    import jax
+
+    emit(backend=jax.default_backend(), devices=len(jax.devices()))
+    for s in (int(v) for v in args.sections.split(",")):
+        {1: section_1, 2: section_2, 3: section_3, 4: section_4}[s](args.spp)
+
+
+if __name__ == "__main__":
+    main()
