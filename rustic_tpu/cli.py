@@ -16,6 +16,7 @@ every sync-rate samples, mirroring the interactive loop.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -70,6 +71,13 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--sun-intensity", type=float, default=15.0)
     r.add_argument(
         "--specular-clamp", default="0.1,0.9", help="specular weight clamp lo,hi"
+    )
+    r.add_argument(
+        "--dot",
+        choices=["auto", "f32", "mixed", "mixed2", "bf16x3"],
+        default="auto",
+        help="flash-kernel dot precision (sets $RUSTIC_FLASH_DOT; "
+        "see ops/flash_intersect.py for the error model)",
     )
     r.add_argument(
         "--engine",
@@ -128,6 +136,8 @@ def cmd_render(args) -> int:
     from rustic_tpu.scene.world import load_scene
     from rustic_tpu.utils.image_io import save_hdr, save_png
 
+    if getattr(args, "dot", "auto") != "auto":
+        os.environ["RUSTIC_FLASH_DOT"] = args.dot
     t0 = time.time()
     scene = load_scene(args.scene, args.skybox)
     config = _make_config(args)
