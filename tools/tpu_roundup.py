@@ -111,16 +111,24 @@ def section_3(spp):
     for name, sky, cam in cases:
         try:
             scene = _load(name, sky)
-            for resident in ("0", "1", "0", "1"):
+            for resident, bt in (
+                ("0", ""), ("1", ""), ("1", "512"), ("0", ""), ("1", ""),
+            ):
                 os.environ["RUSTIC_RESIDENT"] = resident
+                if bt:
+                    os.environ["RUSTIC_BT"] = bt
+                else:
+                    os.environ.pop("RUSTIC_BT", None)
                 rate, wall = _render_rate(
                     scene, 256, 144, max(spp // 4, 4), skybox=sky, cam=cam
                 )
                 emit(section=3, scene=name, resident=resident,
-                     mpaths=round(rate, 3), wall_s=round(wall, 2))
+                     bt=bt or "auto", mpaths=round(rate, 3),
+                     wall_s=round(wall, 2))
         except Exception as e:
             emit(section=3, scene=name, error=str(e))
     os.environ.pop("RUSTIC_RESIDENT", None)
+    os.environ.pop("RUSTIC_BT", None)
 
 
 def section_4(_spp):
