@@ -108,3 +108,12 @@ def test_cli_camera_and_sun_flags(tmp_path):
     )
     assert rc == 0
     assert os.path.exists(out_png)
+
+
+def test_dot_flag_parses():
+    from rustic_tpu.cli import build_parser
+
+    args = build_parser().parse_args(
+        ["render", "x.glb", "--dot", "mixed2"]
+    )
+    assert args.dot == "mixed2"
