@@ -117,3 +117,24 @@ def test_veach_renders(tmp_path):
     film = render_image(scene, cfg, RenderSettings(samples=4))
     assert np.isfinite(film).all()
     assert film.max() > 0.0
+
+
+def test_break_time_textured_skybox_renders():
+    """BreakTime (BASELINE config #5 stand-in): full PBR maps + normal
+    mapping + HDR skybox through the window. Engine-equality is the
+    integration gate for the textured path (shared deterministic
+    sampler => geometric agreement to float tolerance)."""
+    from rustic_tpu.config import NextEventEstimation, TracingConfig
+    from rustic_tpu.scene.world import load_scene
+    from rustic_tpu.utils.compare import compare_engines
+    from tests.conftest import scene_path
+
+    scene = load_scene(
+        scene_path("BreakTime.glb"), scene_path("BreakTimeSky.npy")
+    )
+    config = TracingConfig(
+        width=32, height=18, nee=NextEventEstimation.MIS,
+        cam_position=(0.0, 1.8, -3.2), has_skybox=True,
+    )
+    out = compare_engines(scene, config, samples=2, engines=("brute", "bvh"))
+    assert out["brute_vs_bvh"] < 1e-4
