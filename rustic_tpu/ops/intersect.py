@@ -43,7 +43,14 @@ BIG = 1e6  # reference: kernels/src/intersection.rs:69
 DET_EPS = 1e-6  # reference: kernels/src/intersection.rs:23
 STACK_DEPTH = 32  # reference: kernels/src/intersection.rs:178
 # Triangle count at or below which brute force is used by `auto`.
-BRUTE_FORCE_MAX_TRIS = 65536
+# CPU `auto` crossover: measured on the XLA CPU backend (65536 rays),
+# the lockstep BVH traversal beats brute force at EVERY shipped scene
+# size (184 tris: 0.60 vs 0.85 s; 2932: 0.38 vs 3.2; 10240: 0.96 vs
+# 10.1) — brute's [chunk, 4T] epilogue is memory-bound on host. Brute
+# remains the explicit oracle engine (engine="brute") and the TPU
+# formulation's basis; `auto` only keeps it for tiny scenes where BVH
+# build/traversal bookkeeping cannot pay for itself.
+BRUTE_FORCE_MAX_TRIS = 64
 # Target f32 elements for one [chunk, 4T] intermediate (~64 MB).
 _CHUNK_BUDGET = 1 << 24
 
