@@ -155,16 +155,64 @@ def section_4(_spp):
     os.environ.pop("RUSTIC_FLASH_DOT", None)
 
 
+def section_5(_spp):
+    """Ground-truth films for the scenes still missing from
+    assets/reference/ (f32 dot, bvh oracle engine, 256x144 @ 1024 spp —
+    same protocol as the committed darkcornell/furnace/veachmis films)."""
+    from rustic_tpu.config import (
+        NextEventEstimation,
+        RenderSettings,
+        TracingConfig,
+    )
+    from rustic_tpu.runtime.render import render_image
+
+    ref_dir = os.path.join(os.path.dirname(SCENES), "reference")
+    cases = [
+        ("GlassTest.glb", None, "glasstest_256x144_1024spp.npy",
+         dict(cam_position=(0.0, 2.2, -6.5), cam_rotation=(0.15, 0.0))),
+        ("BreakTime.glb", "BreakTimeSky.npy", "breaktime_256x144_1024spp.npy",
+         dict(cam_position=(0.0, 1.8, -3.2), has_skybox=True)),
+    ]
+    os.environ["RUSTIC_FLASH_DOT"] = "f32"
+    for name, sky, out, cfg_kw in cases:
+        path = os.path.join(ref_dir, out)
+        if os.path.exists(path):
+            emit(section=5, film=out, skipped="already present")
+            continue
+        try:
+            scene = _load(name, sky)
+            config = TracingConfig(
+                width=256, height=144, nee=NextEventEstimation.MIS, **cfg_kw
+            )
+            t0 = time.time()
+            film = np.asarray(
+                render_image(scene, config, RenderSettings(samples=1024),
+                             engine="bvh")
+            )
+            np.save(path, film)
+            emit(section=5, film=out, wall_s=round(time.time() - t0, 1),
+                 mean=round(float(film.mean()), 5))
+        except Exception as e:
+            emit(section=5, film=out, error=str(e))
+    os.environ.pop("RUSTIC_FLASH_DOT", None)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--spp", type=int, default=40)
     ap.add_argument("--sections", default="1,2,3,4")
+    ap.add_argument(
+        "--films", action="store_true",
+        help="also render missing assets/reference/ ground-truth films",
+    )
     args = ap.parse_args()
     import jax
 
     emit(backend=jax.default_backend(), devices=len(jax.devices()))
     for s in (int(v) for v in args.sections.split(",")):
         {1: section_1, 2: section_2, 3: section_3, 4: section_4}[s](args.spp)
+    if args.films:
+        section_5(args.spp)
 
 
 if __name__ == "__main__":
