@@ -36,6 +36,24 @@ CASES = [
             cam_rotation=(0.25, 0.05),
         ),
     ),
+    (
+        "GlassTest",
+        "glasstest_256x144_1024spp.npy",
+        dict(
+            nee=NextEventEstimation.MIS,
+            cam_position=(0.0, 2.2, -6.5),
+            cam_rotation=(0.15, 0.0),
+        ),
+    ),
+    (
+        "BreakTime",
+        "breaktime_256x144_1024spp.npy",
+        dict(
+            nee=NextEventEstimation.MIS,
+            cam_position=(0.0, 1.8, -3.2),
+            has_skybox=True,
+        ),
+    ),
 ]
 
 
@@ -45,7 +63,12 @@ def test_against_reference_film(name, ref_file, cfg_kw):
     if not os.path.exists(path):
         pytest.skip(f"reference film {ref_file} not present")
     ref = np.load(path)
-    scene = World.from_path(scene_path(f"{name}.glb")).to_device()
+    skybox = None
+    if cfg_kw.get("has_skybox"):
+        from rustic_tpu.scene.world import load_skybox_image
+
+        skybox = load_skybox_image(scene_path(f"{name}Sky.npy"))
+    scene = World.from_path(scene_path(f"{name}.glb")).to_device(skybox)
     cfg = TracingConfig(width=256, height=144, **cfg_kw)
     film = render_image(scene, cfg, RenderSettings(samples=12))
 
