@@ -6,8 +6,11 @@ framework is headless-first, but this module provides the same
 interactive loop on top of matplotlib when a display is available:
 
 - progressive accumulation republished every sync_rate samples,
-- WASD + QE fly camera, arrow-key look (reference: src/app.rs:439-492),
-- keys for NEE mode (n), tonemap cycling (t), denoise (d), save (p),
+- WASD + QE fly camera (shift = 10x, ctrl = 0.1x speed), arrow-key look
+  (reference: src/app.rs:439-492),
+- sun controls j/l (azimuth), i/k (elevation), =/- (intensity) — the
+  reference's environment GUI (src/app.rs:365-437),
+- keys for NEE mode (n), tonemap cycling (t), denoise (x), save (p),
 - camera moves mark the state dirty and restart accumulation, exactly
   like the reference's interacting/dirty flags (src/trace.rs:216-222).
 
@@ -52,7 +55,7 @@ class Viewer:
 
     # -- camera (reference: src/app.rs:439-492) -----------------------------
 
-    def _move(self, forward=0.0, right=0.0, up=0.0):
+    def _move(self, forward=0.0, right=0.0, up=0.0, speed_scale=1.0):
         cfg = self.state.config
         pitch, yaw = cfg.cam_rotation
         # camera looks along Ry(yaw)Rx(pitch) @ +z
@@ -62,12 +65,31 @@ class Viewer:
             math.cos(yaw) * math.cos(pitch),
         )
         rgt = (math.cos(yaw), 0.0, -math.sin(yaw))
+        step = _MOVE_SPEED * speed_scale
         pos = tuple(
-            p + _MOVE_SPEED * (forward * f + right * r)
+            p + step * (forward * f + right * r)
             for p, f, r in zip(cfg.cam_position, fwd, rgt)
         )
-        pos = (pos[0], pos[1] + _MOVE_SPEED * up, pos[2])
+        pos = (pos[0], pos[1] + step * up, pos[2])
         self.state.set_config(cam_position=pos)
+
+    def _orbit_sun(self, dazimuth=0.0, delevation=0.0, dintensity=0.0):
+        """Sun controls (reference: src/app.rs:365-437 — the environment
+        GUI's intensity slider + draggable sun-position disc)."""
+        x, y, z, intensity = self.state.config.sun_direction
+        r = max(math.sqrt(x * x + y * y + z * z), 1e-6)
+        azimuth = math.atan2(z, x) + dazimuth
+        elevation = math.asin(max(-1.0, min(1.0, y / r))) + delevation
+        elevation = max(-1.55, min(1.55, elevation))
+        intensity = max(0.0, intensity * (1.0 + dintensity))
+        self.state.set_config(
+            sun_direction=(
+                math.cos(elevation) * math.cos(azimuth),
+                math.sin(elevation),
+                math.cos(elevation) * math.sin(azimuth),
+                intensity,
+            )
+        )
 
     def _turn(self, dpitch=0.0, dyaw=0.0):
         cfg = self.state.config
@@ -79,18 +101,31 @@ class Viewer:
         )
 
     def handle_key(self, key: str) -> bool:
-        """Apply one key action; returns False when the viewer should quit."""
+        """Apply one key action; returns False when the viewer should quit.
+
+        shift+<move> = 10x speed, ctrl+<move> = 0.1x (reference:
+        src/app.rs:439-492's shift/ctrl fly-camera modifiers)."""
+        speed = 1.0
+        while "+" in key and key.split("+", 1)[0] in ("shift", "ctrl"):
+            mod, key = key.split("+", 1)
+            speed *= 10.0 if mod == "shift" else 0.1
         actions = {
-            "w": lambda: self._move(forward=1),
-            "s": lambda: self._move(forward=-1),
-            "a": lambda: self._move(right=-1),
-            "d": lambda: self._move(right=1),
-            "q": lambda: self._move(up=-1),
-            "e": lambda: self._move(up=1),
+            "w": lambda: self._move(forward=1, speed_scale=speed),
+            "s": lambda: self._move(forward=-1, speed_scale=speed),
+            "a": lambda: self._move(right=-1, speed_scale=speed),
+            "d": lambda: self._move(right=1, speed_scale=speed),
+            "q": lambda: self._move(up=-1, speed_scale=speed),
+            "e": lambda: self._move(up=1, speed_scale=speed),
             "up": lambda: self._turn(dpitch=-1),
             "down": lambda: self._turn(dpitch=1),
             "left": lambda: self._turn(dyaw=-1),
             "right": lambda: self._turn(dyaw=1),
+            "j": lambda: self._orbit_sun(dazimuth=-0.1),
+            "l": lambda: self._orbit_sun(dazimuth=0.1),
+            "i": lambda: self._orbit_sun(delevation=0.1),
+            "k": lambda: self._orbit_sun(delevation=-0.1),
+            "=": lambda: self._orbit_sun(dintensity=0.25),
+            "-": lambda: self._orbit_sun(dintensity=-0.2),
         }
         if key in actions:
             actions[key]()

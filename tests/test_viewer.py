@@ -51,3 +51,37 @@ def test_mode_toggles(cornell_scene):
 def test_escape_quits(cornell_scene):
     v = _viewer(cornell_scene)
     assert not v.handle_key("escape")
+
+
+def test_speed_modifiers(cornell_scene):
+    """shift = 10x, ctrl = 0.1x (reference: src/app.rs:439-492)."""
+    v = _viewer(cornell_scene)
+    z0 = v.state.config.cam_position[2]
+    v.handle_key("w")
+    plain = v.state.config.cam_position[2] - z0
+    z1 = v.state.config.cam_position[2]
+    v.handle_key("shift+w")
+    fast = v.state.config.cam_position[2] - z1
+    z2 = v.state.config.cam_position[2]
+    v.handle_key("ctrl+w")
+    slow = v.state.config.cam_position[2] - z2
+    assert np.isclose(fast, 10 * plain) and np.isclose(slow, 0.1 * plain)
+
+
+def test_sun_controls(cornell_scene):
+    """Sun orbit + intensity (reference env GUI: src/app.rs:365-437)."""
+    v = _viewer(cornell_scene)
+    sun0 = np.asarray(v.state.config.sun_direction)
+    v.handle_key("l")
+    sun1 = np.asarray(v.state.config.sun_direction)
+    assert not np.allclose(sun1[:3], sun0[:3])
+    # direction stays unit-length; intensity untouched by orbit keys
+    assert np.isclose(np.linalg.norm(sun1[:3]), 1.0, atol=1e-6)
+    assert sun1[3] == sun0[3]
+    v.handle_key("=")
+    assert v.state.config.sun_direction[3] > sun1[3]
+    v.handle_key("-")
+    # intensity never goes negative
+    for _ in range(40):
+        v.handle_key("-")
+    assert v.state.config.sun_direction[3] >= 0.0
