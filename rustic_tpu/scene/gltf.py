@@ -29,6 +29,7 @@ from __future__ import annotations
 import dataclasses
 import io
 import json
+import os
 import struct
 from typing import Dict, List, Optional, Tuple
 
@@ -89,6 +90,48 @@ def _read_glb_chunks(data: bytes):
         chunks[ctype] = data[offset : offset + clen]
         offset += clen
     return chunks
+
+
+def _resolve_uri(uri: str, base_dir: str) -> bytes:
+    """Fetch a glTF buffer/image uri: base64 data URI or a file relative
+    to the .gltf (percent-decoded). Remote http(s) uris are rejected."""
+    if uri.startswith("data:"):
+        import base64
+
+        header, _, payload = uri.partition(",")
+        if ";base64" not in header:
+            raise ValueError("only base64 data URIs are supported")
+        return base64.b64decode(payload)
+    if uri.startswith(("http:", "https:")):
+        raise ValueError(f"remote glTF uri not supported: {uri}")
+    from urllib.parse import unquote
+
+    with open(os.path.join(base_dir, unquote(uri)), "rb") as f:
+        return f.read()
+
+
+def _load_gltf_json(path: str):
+    """Parse .gltf (JSON) or .glb (binary) into (gltf dict, buffers list).
+
+    The reference gets multi-format support from assimp (README.md:13);
+    here both glTF flavors share one dependency-free parser. Buffers with
+    a uri resolve to sibling files or data URIs; a uri-less buffer is the
+    GLB BIN chunk."""
+    base_dir = os.path.dirname(os.path.abspath(path))
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] == b"glTF":
+        chunks = _read_glb_chunks(data)
+        gltf = json.loads(chunks[0x4E4F534A])  # 'JSON'
+        bin_chunk = chunks.get(0x004E4942, b"")  # 'BIN\0'
+    else:
+        gltf = json.loads(data)
+        bin_chunk = b""
+    buffers = [
+        _resolve_uri(buf["uri"], base_dir) if "uri" in buf else bin_chunk
+        for buf in gltf.get("buffers", [{}])
+    ]
+    return gltf, buffers, base_dir
 
 
 def _accessor(gltf: dict, buffers: List[bytes], index: int) -> np.ndarray:
@@ -160,7 +203,9 @@ def _node_local_matrix(node: dict) -> np.ndarray:
     return m
 
 
-def _decode_image(gltf: dict, buffers: List[bytes], image_index: int) -> np.ndarray:
+def _decode_image(
+    gltf: dict, buffers: List[bytes], image_index: int, base_dir: str = ""
+) -> np.ndarray:
     """Decode a glTF image to float32 [H, W, 4] in [0, 1] (no color transform)."""
     from PIL import Image
 
@@ -170,10 +215,11 @@ def _decode_image(gltf: dict, buffers: List[bytes], image_index: int) -> np.ndar
         raw = buffers[bv["buffer"]][
             bv.get("byteOffset", 0) : bv.get("byteOffset", 0) + bv["byteLength"]
         ]
-        pil = Image.open(io.BytesIO(raw))
+    elif "uri" in img:
+        raw = _resolve_uri(img["uri"], base_dir)
     else:
-        raise ValueError("external image URIs not supported in GLB loader")
-    pil = pil.convert("RGBA")
+        raise ValueError("glTF image has neither bufferView nor uri")
+    pil = Image.open(io.BytesIO(raw)).convert("RGBA")
     return np.asarray(pil, np.float32) / 255.0
 
 
@@ -212,11 +258,8 @@ def _smooth_tangents(
 
 
 def load_glb(path: str) -> GltfScene:
-    with open(path, "rb") as f:
-        data = f.read()
-    chunks = _read_glb_chunks(data)
-    gltf = json.loads(chunks[0x4E4F534A])  # 'JSON'
-    buffers = [chunks.get(0x004E4942, b"")]  # 'BIN\0'
+    """Load a .glb or .gltf scene (both flavors share one code path)."""
+    gltf, buffers, base_dir = _load_gltf_json(path)
 
     # ---- materials ----------------------------------------------------------
     materials: List[GltfMaterial] = []
@@ -225,7 +268,7 @@ def load_glb(path: str) -> GltfScene:
     def get_image(texture_index: int) -> np.ndarray:
         src = gltf["textures"][texture_index]["source"]
         if src not in tex_cache:
-            tex_cache[src] = _decode_image(gltf, buffers, src)
+            tex_cache[src] = _decode_image(gltf, buffers, src, base_dir)
         return tex_cache[src]
 
     for mat in gltf.get("materials", []):

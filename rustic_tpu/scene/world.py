@@ -462,6 +462,13 @@ class World:
 
     @classmethod
     def from_path(cls, path: str) -> "World":
+        """Load any supported scene format (.glb/.gltf/.obj — the
+        reference gets its multi-format surface from assimp,
+        reference: README.md:13)."""
+        if path.lower().endswith(".obj"):
+            from rustic_tpu.scene.obj import load_obj
+
+            return cls(load_obj(path))
         return cls(load_glb(path))
 
     def to_device(self, skybox: Optional[np.ndarray] = None) -> SceneArrays:
