@@ -160,7 +160,10 @@ def load_obj(path: str) -> GltfScene:
                 raw_v.append(tuple(map(float, args[:3])))
             elif key == "vt":
                 u, v = (float(args[0]), float(args[1]) if len(args) > 1 else 0.0)
-                raw_vt.append((u, v))
+                # OBJ vt origin is bottom-left; the renderer consumes
+                # glTF-convention (top-left) UVs, so flip V here. Pinned
+                # by test_formats.py::test_obj_textured_matches_glb.
+                raw_vt.append((u, 1.0 - v))
             elif key == "vn":
                 raw_vn.append(tuple(map(float, args[:3])))
             elif key == "mtllib":

@@ -168,6 +168,89 @@ def test_obj_pbr_keys(tmp_path):
     assert m.roughness == 0.25 and m.metallic == 1.0
 
 
+def test_obj_textured_matches_glb(tmp_path):
+    """The same textured emissive-lit quad authored in OBJ (bottom-left
+    vt origin) and GLB (top-left glTF UVs) must render identically —
+    pins the OBJ loader's V flip to the validated GLB convention."""
+    from PIL import Image
+
+    from rustic_tpu.config import RenderSettings, TracingConfig
+    from rustic_tpu.runtime.render import render_image
+    from rustic_tpu.scene.glb_write import MaterialSpec, MeshSpec, write_glb
+    from rustic_tpu.scene.world import World
+
+    # Distinctive vertically-asymmetric texture.
+    tex = np.zeros((8, 8, 3), np.float32)
+    tex[:4, :, 0] = 1.0  # top half red
+    tex[4:, :, 1] = 1.0  # bottom half green
+    Image.fromarray((tex * 255).astype(np.uint8)).save(
+        os.path.join(str(tmp_path), "checker.png")
+    )
+
+    quad_pos = np.array(
+        [[-2, 0, -2], [2, 0, -2], [2, 0, 2], [-2, 0, 2]], np.float32
+    )
+    lamp_pos = np.array(
+        [[-1, 3, -1], [1, 3, -1], [1, 3, 1], [-1, 3, 1]], np.float32
+    )
+    glb_uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    quads = np.array([[0, 1, 2], [0, 2, 3]], np.uint32)
+
+    glb = os.path.join(str(tmp_path), "tex.glb")
+    write_glb(
+        glb,
+        meshes=[
+            MeshSpec(positions=quad_pos, indices=quads, material=0, uv0=glb_uv),
+            MeshSpec(positions=lamp_pos, indices=quads[:, ::-1], material=1),
+        ],
+        materials=[
+            MaterialSpec(metallic=0.0, roughness=1.0, base_color_texture=0),
+            MaterialSpec(emissive=(2 / 15, 2 / 15, 2 / 15)),  # writer x15 later
+        ],
+        textures=[tex],
+    )
+
+    # Same scene in OBJ: vt origin bottom-left -> v_obj = 1 - v_gltf.
+    _write(
+        tmp_path,
+        "tex.mtl",
+        "newmtl floor\nKd 1 1 1\nmap_Kd checker.png\n"
+        "newmtl lamp\nKd 0 0 0\nKe 0.1333333333 0.1333333333 0.1333333333\n",
+    )
+    obj_lines = ["mtllib tex.mtl"]
+    for p in quad_pos:
+        obj_lines.append(f"v {p[0]} {p[1]} {p[2]}")
+    for p in lamp_pos:
+        obj_lines.append(f"v {p[0]} {p[1]} {p[2]}")
+    for u, v in glb_uv:
+        obj_lines.append(f"vt {u} {1.0 - v}")
+    obj_lines += [
+        "usemtl floor",
+        "f 1/1 2/2 3/3",
+        "f 1/1 3/3 4/4",
+        "usemtl lamp",
+        "f 7 6 5",
+        "f 8 7 5",
+    ]
+    obj = _write(tmp_path, "tex.obj", "\n".join(obj_lines) + "\n")
+
+    cfg = TracingConfig(
+        width=24, height=24, cam_position=(0.0, 2.0, -3.5),
+        cam_rotation=(0.45, 0.0), max_bounces=2,
+    )
+    st = RenderSettings(samples=8)
+    film_glb = render_image(
+        World.from_path(glb).to_device(), cfg, st, engine="brute"
+    )
+    film_obj = render_image(
+        World.from_path(obj).to_device(), cfg, st, engine="brute"
+    )
+    assert film_glb.max() > 0.0
+    # Same geometry/material/UV semantics -> same image (float tolerance;
+    # GLB textures round-trip through 8-bit PNG, ours is exact 0/1 texels).
+    np.testing.assert_allclose(film_obj, film_glb, atol=2e-3)
+
+
 def test_obj_renders_end_to_end(tmp_path):
     """An emissive OBJ quad over a diffuse floor must render non-black
     through World.from_path (format dispatch) on the brute engine."""
