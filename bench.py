@@ -28,6 +28,11 @@ BASELINE_MPATHS = 61.2  # 1280*720*160 / 2.408s (benches/benchmark.rs:17)
 # failure JSON line and exit instead of hanging the round.
 INIT_TIMEOUT_S = float(os.environ.get("RUSTIC_BENCH_INIT_TIMEOUT", "600"))
 
+# Every successful run records its reading here; a tunnel-down run
+# reports it back (clearly labeled stale) so a transient outage at
+# measurement time doesn't erase the last real number.
+LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_last.json")
+
 
 def _init_backend_or_die():
     """Import jax + init the default backend under a timeout."""
@@ -51,18 +56,20 @@ def _init_backend_or_die():
             f"device init exceeded {INIT_TIMEOUT_S:.0f}s "
             "(axon tunnel unreachable?)",
         )
-        print(
-            json.dumps(
-                {
-                    "metric": "DarkCornell 1280x720x160spp camera-path throughput",
-                    "value": 0.0,
-                    "unit": "Mpaths/s",
-                    "vs_baseline": 0.0,
-                    "backend": "none",
-                    "error": err,
-                }
-            )
-        )
+        out = {
+            "metric": "DarkCornell 1280x720x160spp camera-path throughput",
+            "value": 0.0,
+            "unit": "Mpaths/s",
+            "vs_baseline": 0.0,
+            "backend": "none",
+            "error": err,
+        }
+        try:
+            with open(LAST_GOOD_PATH) as f:
+                out["stale_last_good"] = json.load(f)
+        except Exception:
+            pass
+        print(json.dumps(out))
         sys.stdout.flush()
         os._exit(0)  # jax init is not interruptible; hard-exit
     return box
@@ -164,6 +171,20 @@ def main():
         "pbr_multitile_mpaths": pbr_mpaths,
     }
     print(json.dumps(result))
+    if backend == "tpu":
+        try:
+            with open(LAST_GOOD_PATH, "w") as f:
+                json.dump(
+                    {
+                        "value": result["value"],
+                        "vs_baseline": result["vs_baseline"],
+                        "render_s": result["render_s"],
+                        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                    },
+                    f,
+                )
+        except OSError:
+            pass
     return 0
 
 
