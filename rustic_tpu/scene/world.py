@@ -465,10 +465,19 @@ class World:
         """Load any supported scene format (.glb/.gltf/.obj — the
         reference gets its multi-format surface from assimp,
         reference: README.md:13)."""
-        if path.lower().endswith(".obj"):
+        low = path.lower()
+        if low.endswith(".obj"):
             from rustic_tpu.scene.obj import load_obj
 
             return cls(load_obj(path))
+        if low.endswith(".stl"):
+            from rustic_tpu.scene.mesh_formats import load_stl
+
+            return cls(load_stl(path))
+        if low.endswith(".ply"):
+            from rustic_tpu.scene.mesh_formats import load_ply
+
+            return cls(load_ply(path))
         return cls(load_glb(path))
 
     def to_device(self, skybox: Optional[np.ndarray] = None) -> SceneArrays:

@@ -251,6 +251,102 @@ def test_obj_textured_matches_glb(tmp_path):
     np.testing.assert_allclose(film_obj, film_glb, atol=2e-3)
 
 
+def _stl_binary(tris: np.ndarray) -> bytes:
+    """tris: [T, 3, 3] float32 vertex triples."""
+    out = bytearray(b"\0" * 80)
+    out += struct.pack("<I", len(tris))
+    for t in tris:
+        out += struct.pack("<3f", 0, 0, 0)
+        for v in t:
+            out += struct.pack("<3f", *v)
+        out += struct.pack("<H", 0)
+    return bytes(out)
+
+
+def test_stl_binary_and_ascii_match(tmp_path):
+    from rustic_tpu.scene.mesh_formats import load_stl
+
+    tris = np.array(
+        [[[0, 0, 0], [1, 0, 0], [0, 2, 0]], [[0, 0, 0], [0, 2, 0], [-1, 0, 0]]],
+        np.float32,
+    )
+    bin_path = os.path.join(str(tmp_path), "t.stl")
+    with open(bin_path, "wb") as f:
+        f.write(_stl_binary(tris))
+    lines = ["solid t"]
+    for t in tris:
+        lines += ["facet normal 0 0 0", "outer loop"]
+        lines += [f"vertex {v[0]} {v[1]} {v[2]}" for v in t]
+        lines += ["endloop", "endfacet"]
+    lines.append("endsolid t")
+    asc_path = _write(tmp_path, "t_ascii.stl", "\n".join(lines) + "\n")
+
+    a = load_stl(bin_path)
+    b = load_stl(asc_path)
+    np.testing.assert_allclose(a.positions, b.positions)
+    np.testing.assert_array_equal(a.triangles, b.triangles)
+    # Y/Z swizzle applied: the glTF y=2 peak lands on renderer z
+    assert a.positions[:, 2].max() == 2.0
+    assert a.triangles.shape == (2, 4)
+
+
+def test_ply_ascii_and_binary_match(tmp_path):
+    from rustic_tpu.scene.mesh_formats import load_ply
+
+    ascii_ply = (
+        "ply\nformat ascii 1.0\n"
+        "element vertex 4\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "element face 1\n"
+        "property list uchar int vertex_indices\n"
+        "end_header\n"
+        "0 0 0\n1 0 0\n1 2 0\n0 2 0\n"
+        "4 0 1 2 3\n"
+    )
+    a = load_ply(_write(tmp_path, "q.ply", ascii_ply))
+    assert a.triangles.shape == (2, 4)  # quad fan-triangulated
+    assert len(a.positions) == 4
+
+    header = (
+        b"ply\nformat binary_little_endian 1.0\n"
+        b"element vertex 4\n"
+        b"property float x\nproperty float y\nproperty float z\n"
+        b"element face 1\n"
+        b"property list uchar int vertex_indices\n"
+        b"end_header\n"
+    )
+    body = struct.pack("<12f", 0, 0, 0, 1, 0, 0, 1, 2, 0, 0, 2, 0)
+    body += struct.pack("<B4i", 4, 0, 1, 2, 3)
+    bin_path = os.path.join(str(tmp_path), "qb.ply")
+    with open(bin_path, "wb") as f:
+        f.write(header + body)
+    b = load_ply(bin_path)
+    np.testing.assert_allclose(a.positions, b.positions)
+    np.testing.assert_array_equal(a.triangles, b.triangles)
+
+
+def test_stl_renders_through_from_path(tmp_path):
+    """World.from_path dispatch + a light: STL soup renders non-black."""
+    from rustic_tpu.config import TracingConfig, RenderSettings
+    from rustic_tpu.runtime.render import render_image
+    from rustic_tpu.scene.world import World
+
+    floor = np.array(
+        [[[-5, 0, -5], [5, 0, -5], [5, 0, 5]], [[-5, 0, -5], [5, 0, 5], [-5, 0, 5]]],
+        np.float32,
+    )
+    path = os.path.join(str(tmp_path), "floor.stl")
+    with open(path, "wb") as f:
+        f.write(_stl_binary(floor))
+    world = World.from_path(path)
+    scene = world.to_device()  # procedural sky lights it
+    cfg = TracingConfig(
+        width=12, height=12, cam_position=(0.0, 1.0, -4.0), max_bounces=2
+    )
+    film = render_image(scene, cfg, RenderSettings(samples=2), engine="brute")
+    assert np.isfinite(film).all() and film.mean() > 0.0
+
+
 def test_obj_renders_end_to_end(tmp_path):
     """An emissive OBJ quad over a diffuse floor must render non-black
     through World.from_path (format dispatch) on the brute engine."""
