@@ -294,7 +294,16 @@ def load_skybox_image(path: str) -> np.ndarray:
         if img.shape[-1] == 3:
             img = np.concatenate([img, np.ones_like(img[..., :1])], axis=-1)
         return img
-    if path.lower().endswith((".hdr", ".exr")):
+    if path.lower().endswith(".hdr"):
+        # Dedicated RGBE decoder: the available Python image stacks
+        # either reject .hdr or silently tonemap it to uint8, losing the
+        # radiance scale (reference decodes it natively via the image
+        # crate, src/asset.rs:238-255).
+        from rustic_tpu.utils.hdr import read_hdr
+
+        img = read_hdr(path)
+        return np.concatenate([img, np.ones_like(img[..., :1])], axis=-1)
+    if path.lower().endswith(".exr"):
         import imageio.v3 as iio
 
         img = np.asarray(iio.imread(path), np.float32)

@@ -33,6 +33,11 @@ def save_hdr(path: str, film: np.ndarray):
     if path.endswith(".npy"):
         np.save(path, film.astype(np.float32))
         return
+    if path.endswith(".hdr"):
+        from rustic_tpu.utils.hdr import write_hdr
+
+        write_hdr(path, np.asarray(film, np.float32))
+        return
     try:
         import imageio.v3 as iio
 
