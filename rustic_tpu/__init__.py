@@ -40,6 +40,17 @@ if _cache_dir and _cache_dir != "0":
     except Exception:
         pass
 
+# Honor $JAX_PLATFORMS even when a site hook (e.g. the axon TPU plugin's
+# sitecustomize) programmatically overrode the platform list before this
+# package imported: the config value wins over the env var, so mirror
+# the env var back into the config. Without this, JAX_PLATFORMS=cpu runs
+# hang in the TPU plugin's connect-retry loop when the tunnel is down.
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 from rustic_tpu.config import (  # noqa: F401
     NextEventEstimation,
     RenderSettings,
