@@ -44,6 +44,52 @@ def test_furnace_mis(furnace_scene):
     assert np.all(np.abs(pixel - ALBEDO) < 0.03), pixel
 
 
+def test_dls_matches_mis_on_black_emitters(tmp_path):
+    """Direct light sampling (the reference's third NEE mode,
+    shared_structs/src/lib.rs:193-236). NOTE: DLS is deliberately NOT
+    furnace-tested — matching the reference exactly, a diffuse-bounce
+    emissive hit is skipped and the path continues shading the emitter
+    surface (kernels/src/lib.rs:96-101 falls through without a break),
+    so emitters with nonzero albedo inter-reflect and the furnace gains
+    energy; the reference's own test matrix is {off, MIS} only. With
+    black-albedo emitters the estimators agree in expectation."""
+    from rustic_tpu.config import RenderSettings
+    from rustic_tpu.runtime.render import render_image
+    from rustic_tpu.scene.glb_write import MaterialSpec, MeshSpec, write_glb
+    from rustic_tpu.scene.world import World
+
+    quad = np.array([[-4, 0, -4], [4, 0, -4], [4, 0, 4], [-4, 0, 4]], np.float32)
+    lamp = quad * 0.25 + np.array([0, 3, 0], np.float32)
+    tris = np.array([[0, 1, 2], [0, 2, 3]], np.uint32)
+    path = str(tmp_path / "dls.glb")
+    write_glb(
+        path,
+        meshes=[
+            MeshSpec(positions=quad, indices=tris, material=0),
+            MeshSpec(positions=lamp, indices=tris[:, ::-1], material=1),
+        ],
+        materials=[
+            MaterialSpec(base_color=(0.7, 0.7, 0.7, 1.0), metallic=0.0),
+            MaterialSpec(base_color=(0, 0, 0, 1), emissive=(0.2, 0.2, 0.2)),
+        ],
+    )
+    scene = World.from_path(path).to_device()
+
+    def mean(nee):
+        cfg = TracingConfig(
+            width=16, height=16, nee=nee,
+            cam_position=(0.0, 1.5, -5.0), cam_rotation=(0.3, 0.0),
+            max_bounces=3,
+        )
+        film = render_image(scene, cfg, RenderSettings(samples=48), engine="brute")
+        return float(np.asarray(film).mean())
+
+    m_mis = mean(NextEventEstimation.MIS)
+    m_dls = mean(NextEventEstimation.DIRECT)
+    assert m_mis > 0.01
+    assert abs(m_dls - m_mis) / m_mis < 0.08, (m_dls, m_mis)
+
+
 @pytest.mark.slow
 def test_furnace_mis_converged(furnace_scene):
     cfg = TracingConfig(width=SIZE, height=SIZE, nee=NextEventEstimation.MIS)
