@@ -49,7 +49,7 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="command", required=True)
 
     r = sub.add_parser("render", help="render a scene to an image")
-    r.add_argument("scene", help="path to a .glb/.gltf/.obj/.stl/.ply scene")
+    r.add_argument("scene", help="path to a .glb/.gltf/.obj/.fbx/.stl/.ply scene")
     r.add_argument("--out", default="render.png", help="output PNG path")
     r.add_argument("--save-hdr", default=None, help="also write linear film (.npy/.exr)")
     r.add_argument("--spp", type=int, default=32)

@@ -487,6 +487,10 @@ class World:
             from rustic_tpu.scene.mesh_formats import load_ply
 
             return cls(load_ply(path))
+        if low.endswith(".fbx"):
+            from rustic_tpu.scene.fbx import load_fbx
+
+            return cls(load_fbx(path))
         return cls(load_glb(path))
 
     def to_device(self, skybox: Optional[np.ndarray] = None) -> SceneArrays:
