@@ -1,4 +1,4 @@
-"""Minimal binary FBX (Kaydara 7.x) loader.
+"""Minimal FBX (Kaydara 7.x, binary + ASCII) loader.
 
 Completes the format trio the reference's README names ("glTF, FBX,
 obj", reference: README.md:13, loaded there through assimp). This is a
@@ -18,7 +18,7 @@ dependency-free reader for the documented binary container:
 - scene graph: Connections (OO geometry->model, material->model) with
   Lcl Translation / Rotation (XYZ euler, degrees) / Scaling on models.
 
-Deliberately out of scope (documented): ASCII FBX, axis/unit
+Deliberately out of scope (documented): axis/unit
 GlobalSettings conversion (exporters overwhelmingly write Y-up meters
 or bake transforms), embedded textures, skinning/animation. Output is a
 `GltfScene` with the same renderer-space conventions as the other
@@ -184,16 +184,97 @@ def _euler_xyz_deg(rx, ry, rz) -> np.ndarray:
     return mz @ my @ mx
 
 
+def _parse_ascii(text: str) -> List[_Node]:
+    """Parse ASCII FBX: `Name: p1, p2 { children }` records. Array
+    nodes (`Verts: *9 { a: 1,2,... }`) surface their payload as the
+    node's single ndarray property, matching the binary reader."""
+    import re as _re
+
+    token_re = _re.compile(
+        r'"(?:[^"\\]|\\.)*"'  # string
+        r"|[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?"  # number
+        r"|\*[0-9]+"  # array length marker
+        r"|[A-Za-z_][A-Za-z0-9_ ]*:"  # key
+        r"|[{},]",
+    )
+
+    def convert(tok: str):
+        if tok.startswith('"'):
+            return tok[1:-1]
+        if "." in tok or "e" in tok or "E" in tok:
+            return float(tok)
+        return int(tok)
+
+    lines = [
+        ln for ln in text.splitlines() if not ln.lstrip().startswith(";")
+    ]
+    toks = token_re.findall("\n".join(lines))
+    pos = 0
+
+    def parse_siblings(depth) -> List[_Node]:
+        nonlocal pos
+        nodes: List[_Node] = []
+        while pos < len(toks):
+            tok = toks[pos]
+            if tok == "}":
+                pos += 1
+                return nodes
+            if not tok.endswith(":"):
+                pos += 1  # stray separator
+                continue
+            name = tok[:-1].strip()
+            pos += 1
+            props: list = []
+            children: List[_Node] = []
+            array_len = None
+            while pos < len(toks):
+                t = toks[pos]
+                if t == ",":
+                    pos += 1
+                elif t.startswith("*"):
+                    array_len = int(t[1:])
+                    pos += 1
+                elif t == "{":
+                    pos += 1
+                    children = parse_siblings(depth + 1)
+                    break
+                elif t == "}" or t.endswith(":"):
+                    break
+                else:
+                    props.append(convert(t))
+                    pos += 1
+            if array_len is not None:
+                # children hold one 'a:' node with the numbers
+                payload: list = []
+                for c in children:
+                    if c.name == "a":
+                        payload = c.props
+                arr = np.asarray(payload)
+                props = [
+                    arr.astype(
+                        np.float64 if arr.dtype.kind == "f" else np.int64
+                    )
+                ]
+                children = []
+            nodes.append(_Node(name, props, children))
+        return nodes
+
+    return parse_siblings(0)
+
+
 def load_fbx(path: str) -> GltfScene:
     with open(path, "rb") as f:
         data = f.read()
-    if not data.startswith(_MAGIC):
-        raise ValueError(
-            f"not a binary FBX file: {path} (ASCII FBX is not supported — "
-            "re-export as binary FBX, glTF, or OBJ)"
+    if data.startswith(_MAGIC):
+        (version,) = struct.unpack_from("<I", data, len(_MAGIC) + 2)
+        roots = _parse_nodes(
+            data, len(_MAGIC) + 6, len(data), wide=version >= 7500
         )
-    (version,) = struct.unpack_from("<I", data, len(_MAGIC) + 2)
-    roots = _parse_nodes(data, len(_MAGIC) + 6, len(data), wide=version >= 7500)
+    else:
+        text = data.decode(errors="replace")
+        if "FBX" not in text[:512] and "Objects:" not in text:
+            raise ValueError(f"not an FBX file: {path}")
+        roots = _parse_ascii(text)
     root = _Node("", [], roots)
 
     objects = root.find("Objects")

@@ -222,10 +222,87 @@ def test_fbx_winding_matches_obj(tmp_path):
     np.testing.assert_allclose(a.normals, b.normals, atol=1e-12)
 
 
-def test_fbx_rejects_ascii(tmp_path):
+ASCII_FBX = """
+; FBX 7.4.0 project file
+Objects:  {
+    Geometry: 100, "Geometry::t", "Mesh" {
+        Vertices: *9 {
+            a: 0,0,0,1,0,0,0,2,0
+        }
+        PolygonVertexIndex: *3 {
+            a: 0,1,-3
+        }
+        LayerElementNormal: 0 {
+            MappingInformationType: "ByVertice"
+            ReferenceInformationType: "Direct"
+            Normals: *9 {
+                a: 0,0,1,0,0,1,0,0,1
+            }
+        }
+    }
+    Model: 200, "Model::t", "Mesh" {
+        Properties70:  {
+            P: "Lcl Translation", "Lcl Translation", "", "A",5,0,0
+        }
+    }
+    Material: 300, "Material::m", "" {
+        Properties70:  {
+            P: "DiffuseColor", "Color", "", "A",0.25,0.5,0.75
+        }
+    }
+}
+Connections:  {
+    C: "OO",100,200
+    C: "OO",300,200
+}
+"""
+
+
+def test_fbx_ascii(tmp_path):
     p = tmp_path / "a.fbx"
-    p.write_bytes(b"; FBX 7.4.0 project file\n")
-    with pytest.raises(ValueError, match="ASCII"):
+    p.write_text(ASCII_FBX)
+    scene = load_fbx(str(p))
+    assert scene.triangles.shape == (1, 4)
+    # translation +5x applied; swizzle keeps x
+    np.testing.assert_allclose(sorted(scene.positions[:, 0]), [5, 5, 6])
+    # FBX +z normal -> renderer +y
+    np.testing.assert_allclose(scene.normals, [[0, 1, 0]] * 3, atol=1e-12)
+    np.testing.assert_allclose(
+        scene.materials[scene.triangles[0, 3]].base_color[:3],
+        (0.25, 0.5, 0.75),
+    )
+
+
+def test_fbx_ascii_matches_binary(tmp_path):
+    """The same triangle through the ASCII and binary containers."""
+    verts = np.array([0, 0, 0, 1, 0, 0, 0, 2, 0], np.float64)
+    pvi = np.array([0, 1, -3], np.int32)
+    geometry = (
+        "Geometry",
+        (100, "Geometry::t", "Mesh"),
+        [("Vertices", (verts,), ()), ("PolygonVertexIndex", (pvi,), ())],
+    )
+    model = (
+        "Model",
+        (200, "Model::t", "Mesh"),
+        [_p70(["Lcl Translation", "Lcl Translation", "", "A", 5.0, 0.0, 0.0])],
+    )
+    conn = ("Connections", (), [("C", ("OO", 100, 200), ())])
+    bin_path = str(tmp_path / "b.fbx")
+    _write_fbx(bin_path, [("Objects", (), [geometry, model]), conn])
+    asc_path = tmp_path / "a.fbx"
+    asc_path.write_text(ASCII_FBX)
+
+    a = load_fbx(str(asc_path))
+    b = load_fbx(bin_path)
+    np.testing.assert_allclose(a.positions, b.positions, atol=1e-12)
+    np.testing.assert_array_equal(a.triangles[:, :3], b.triangles[:, :3])
+
+
+def test_fbx_rejects_garbage(tmp_path):
+    p = tmp_path / "g.fbx"
+    p.write_bytes(b"\x89PNG not a scene")
+    with pytest.raises(ValueError):
         load_fbx(str(p))
 
 
