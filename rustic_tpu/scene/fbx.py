@@ -113,7 +113,6 @@ def _parse_nodes(data: bytes, offset: int, end: int, wide: bool) -> list:
     """Parse sibling node records until the null sentinel / end."""
     nodes = []
     fmt, fsize = ("<QQQ", 24) if wide else ("<III", 12)
-    sentinel = (3 * fsize // 3) * [0]  # noqa: F841 (documentation)
     null_len = 3 * (8 if wide else 4) + 1
     while offset < end:
         end_offset, num_props, _prop_len = struct.unpack_from(fmt, data, offset)
