@@ -109,6 +109,11 @@ class Viewer:
         while "+" in key and key.split("+", 1)[0] in ("shift", "ctrl"):
             mod, key = key.split("+", 1)
             speed *= 10.0 if mod == "shift" else 0.1
+        if len(key) == 1 and key.isalpha() and key.isupper():
+            # matplotlib delivers shift+letter as the bare uppercase
+            # letter, not "shift+x"
+            speed *= 10.0
+            key = key.lower()
         actions = {
             "w": lambda: self._move(forward=1, speed_scale=speed),
             "s": lambda: self._move(forward=-1, speed_scale=speed),

@@ -15,8 +15,9 @@ dependency-free reader for the documented binary container:
 - materials: Properties70 DiffuseColor / EmissiveColor / EmissiveFactor
   / Shininess (emissive x 15 like every other loader, matching the
   reference's assimp-5.2.5 hack, src/asset.rs:167),
-- scene graph: Connections (OO geometry->model, material->model) with
-  Lcl Translation / Rotation (XYZ euler, degrees) / Scaling on models.
+- scene graph: Connections (OO geometry->model, material->model,
+  model->model hierarchy) with Lcl Translation / Rotation (XYZ euler,
+  degrees) / Scaling composed up the model tree.
 
 Deliberately out of scope (documented): axis/unit
 GlobalSettings conversion (exporters overwhelmingly write Y-up meters
@@ -37,6 +38,8 @@ import numpy as np
 from rustic_tpu.scene.gltf import (
     GltfMaterial,
     GltfScene,
+    _renderer_space_scene,
+    _shininess_to_roughness,
     _smooth_normals,
     _smooth_tangents,
 )
@@ -301,13 +304,13 @@ def load_fbx(path: str) -> GltfScene:
             # x15: the reference's assimp emissive hack applies per-format
             m.emissive = tuple(15.0 * factor * np.asarray(emis))
             if "Shininess" in p:
-                ns = float(p["Shininess"][-1])
-                m.roughness = float(np.sqrt(2.0 / (ns + 2.0)))
+                m.roughness = _shininess_to_roughness(float(p["Shininess"][-1]))
             mats[uid] = m
 
     # Connections: child-uid -> parent-uid (OO only)
     geo_of_model: Dict[int, int] = {}
     mats_of_model: Dict[int, List[int]] = {}
+    parent_of_model: Dict[int, int] = {}
     conns = root.find("Connections")
     for c in conns.find_all("C") if conns else []:
         if len(c.props) < 3 or c.props[0] != "OO":
@@ -317,6 +320,36 @@ def load_fbx(path: str) -> GltfScene:
             geo_of_model[parent] = child
         elif child in mats and parent in models:
             mats_of_model.setdefault(parent, []).append(child)
+        elif child in models and parent in models:
+            parent_of_model[child] = parent
+
+    def _local_matrix(model: _Node) -> np.ndarray:
+        p = _props70(model)
+        m = np.eye(4)
+        lin = np.eye(3)
+        if "Lcl Scaling" in p:
+            lin = lin @ np.diag([float(v) for v in p["Lcl Scaling"][-3:]])
+        if "Lcl Rotation" in p:
+            lin = _euler_xyz_deg(*[float(v) for v in p["Lcl Rotation"][-3:]]) @ lin
+        m[:3, :3] = lin
+        if "Lcl Translation" in p:
+            m[:3, 3] = [float(v) for v in p["Lcl Translation"][-3:]]
+        return m
+
+    _global_cache: Dict[int, np.ndarray] = {}
+
+    def _global_matrix(uid: int) -> np.ndarray:
+        """Compose Lcl TRS up the model hierarchy (node graph flatten,
+        the reference's walk_node_graph analog, src/asset.rs:78-132)."""
+        if uid not in _global_cache:
+            local = _local_matrix(models[uid])
+            parent = parent_of_model.get(uid)
+            _global_cache[uid] = (
+                _global_matrix(parent) @ local
+                if parent is not None and parent in models
+                else local
+            )
+        return _global_cache[uid]
 
     materials: List[GltfMaterial] = []
     mat_slot: Dict[int, int] = {}
@@ -340,16 +373,10 @@ def load_fbx(path: str) -> GltfScene:
         pos = np.asarray(verts_node.props[0], np.float64).reshape(-1, 3)
         raw_idx = np.asarray(idx_node.props[0], np.int64)
 
-        p = _props70(model)
-        mat = np.eye(3)
-        if "Lcl Scaling" in p:
-            mat = mat @ np.diag([float(v) for v in p["Lcl Scaling"][-3:]])
-        if "Lcl Rotation" in p:
-            mat = _euler_xyz_deg(*[float(v) for v in p["Lcl Rotation"][-3:]]) @ mat
-        trans = np.asarray(
-            [float(v) for v in p.get("Lcl Translation", [None, None, 0, 0, 0])[-3:]]
-        )
-        world_pos = pos @ mat.T + trans
+        world = _global_matrix(model_uid)
+        mat = world[:3, :3]
+        world_pos = pos @ mat.T + world[:3, 3]
+        has_linear = not np.allclose(mat, np.eye(3))
 
         # polygons: indices until a negative value (= ~last_index)
         poly_vidx = np.where(raw_idx < 0, ~raw_idx, raw_idx)
@@ -404,7 +431,7 @@ def load_fbx(path: str) -> GltfScene:
 
         if nrm_pv is not None:
             flat_nrm = nrm_pv[corners.reshape(-1)]
-            if "Lcl Rotation" in p or "Lcl Scaling" in p:
+            if has_linear:
                 try:
                     nrm_mat = np.linalg.inv(mat).T
                 except np.linalg.LinAlgError:
@@ -424,10 +451,18 @@ def load_fbx(path: str) -> GltfScene:
         if uv_pv is not None:
             flat_uv = np.stack([flat_uv[:, 0], 1.0 - flat_uv[:, 1]], axis=-1)
 
-        if poly_mat_idx is not None and len(mat_uids) > 1 and len(poly_mat_idx) > 1:
+        if poly_mat_idx is not None and mat_uids:
+            # ByPolygon: one entry per polygon; AllSame: a single entry
+            # naming the material for every polygon. Clamp both lookups
+            # so malformed indices fall back instead of raising.
+            n_m = len(mat_uids)
+
+            def poly_slot(pid: int) -> int:
+                mi = int(poly_mat_idx[min(pid, len(poly_mat_idx) - 1)])
+                return slot(mat_uids[min(max(mi, 0), n_m - 1)])
+
             tri_mat = np.asarray(
-                [slot(mat_uids[int(poly_mat_idx[pid])]) for pid in tri_poly],
-                np.int64,
+                [poly_slot(int(pid)) for pid in tri_poly], np.int64
             )
         else:
             tri_mat = np.full(len(tris), default_slot, np.int64)
@@ -451,17 +486,4 @@ def load_fbx(path: str) -> GltfScene:
     uv = np.concatenate(uv_l)
     tri_arr = np.concatenate(tris_l)
     tan = _smooth_tangents(pos, uv, nrm, tri_arr[:, :3])
-
-    triangles = np.empty((len(tri_arr), 4), np.int32)
-    triangles[:, 0] = tri_arr[:, 0]
-    triangles[:, 1] = tri_arr[:, 2]  # winding reorder (i0, i2, i1)
-    triangles[:, 2] = tri_arr[:, 1]
-    triangles[:, 3] = tri_arr[:, 3]
-    return GltfScene(
-        positions=pos[:, [0, 2, 1]].astype(np.float32),
-        normals=nrm[:, [0, 2, 1]].astype(np.float32),
-        tangents=tan[:, [0, 2, 1]].astype(np.float32),
-        uv0=uv.astype(np.float32),
-        triangles=triangles,
-        materials=materials,
-    )
+    return _renderer_space_scene(pos, nrm, tan, uv, tri_arr, materials)

@@ -224,16 +224,59 @@ def _decode_image(
 
 
 def _smooth_normals(positions: np.ndarray, tris: np.ndarray) -> np.ndarray:
-    """Area-weighted smooth vertex normals (assimp GenerateSmoothNormals analog)."""
+    """Area-weighted smooth vertex normals (assimp GenerateSmoothNormals
+    analog). Vertices are welded by (rounded) position first, so
+    triangle soups with unshared index buffers (STL facets, FBX
+    per-corner attributes, OBJ vertices split by differing UVs) still
+    smooth across the surface — without welding each soup vertex sees
+    exactly one face and the result degenerates to flat facet shading."""
     a = positions[tris[:, 0]]
     b = positions[tris[:, 1]]
     c = positions[tris[:, 2]]
     fn = np.cross(b - a, c - a)
-    normals = np.zeros_like(positions)
+    _, inverse = np.unique(
+        positions.round(decimals=6), axis=0, return_inverse=True
+    )
+    inverse = inverse.reshape(-1)
+    acc = np.zeros((int(inverse.max()) + 1 if len(inverse) else 0, 3))
     for k in range(3):
-        np.add.at(normals, tris[:, k], fn)
+        np.add.at(acc, inverse[tris[:, k]], fn)
+    normals = acc[inverse]
     norm = np.linalg.norm(normals, axis=-1, keepdims=True)
     return normals / np.maximum(norm, 1e-12)
+
+
+def _shininess_to_roughness(ns: float) -> float:
+    """Classic Phong shininess -> GGX roughness (Beckmann fit), shared
+    by the OBJ (Ns) and FBX (Shininess) material paths."""
+    return float(np.sqrt(2.0 / (max(ns, 0.0) + 2.0)))
+
+
+def _renderer_space_scene(
+    positions: np.ndarray,
+    normals: np.ndarray,
+    tangents: np.ndarray,
+    uv0: np.ndarray,
+    tris4: np.ndarray,
+    materials: List["GltfMaterial"],
+) -> "GltfScene":
+    """Shared loader tail: apply the renderer-space swizzle (x, z, y)
+    and winding reorder (i0, i2, i1) (reference: src/asset.rs:102-114)
+    and assemble the GltfScene. `tris4` is [T, 4] (i0, i1, i2, mat) in
+    source winding."""
+    triangles = np.empty((len(tris4), 4), np.int32)
+    triangles[:, 0] = tris4[:, 0]
+    triangles[:, 1] = tris4[:, 2]
+    triangles[:, 2] = tris4[:, 1]
+    triangles[:, 3] = tris4[:, 3]
+    return GltfScene(
+        positions=np.asarray(positions)[:, [0, 2, 1]].astype(np.float32),
+        normals=np.asarray(normals)[:, [0, 2, 1]].astype(np.float32),
+        tangents=np.asarray(tangents)[:, [0, 2, 1]].astype(np.float32),
+        uv0=np.asarray(uv0).astype(np.float32),
+        triangles=triangles,
+        materials=materials,
+    )
 
 
 def _smooth_tangents(

@@ -18,37 +18,32 @@ x/y/z (+ optional per-vertex u/v or s/t texture coordinates); faces via
 from __future__ import annotations
 
 import struct
-from typing import List, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
 from rustic_tpu.scene.gltf import (
     GltfMaterial,
     GltfScene,
+    _renderer_space_scene,
     _smooth_normals,
     _smooth_tangents,
 )
 
 
 def _finish(pos: np.ndarray, tris: np.ndarray, uv: np.ndarray = None) -> GltfScene:
-    """Shared tail: dedupe-free soup -> renderer-space GltfScene."""
+    """Shared tail: dedupe-free soup -> renderer-space GltfScene.
+    (_smooth_normals welds by position, so unshared soups smooth.)"""
     pos = pos.astype(np.float64)
     if uv is None:
         uv = np.zeros((len(pos), 2))
     nrm = _smooth_normals(pos, tris)
     tan = _smooth_tangents(pos, uv, nrm, tris)
-    triangles = np.empty((len(tris), 4), np.int32)
-    triangles[:, 0] = tris[:, 0]
-    triangles[:, 1] = tris[:, 2]  # winding reorder (i0, i2, i1)
-    triangles[:, 2] = tris[:, 1]
-    triangles[:, 3] = 0
-    return GltfScene(
-        positions=pos[:, [0, 2, 1]].astype(np.float32),
-        normals=nrm[:, [0, 2, 1]].astype(np.float32),
-        tangents=tan[:, [0, 2, 1]].astype(np.float32),
-        uv0=uv.astype(np.float32),
-        triangles=triangles,
-        materials=[GltfMaterial(metallic=0.0)],
+    tris4 = np.concatenate(
+        [tris, np.zeros((len(tris), 1), np.int64)], axis=1
+    )
+    return _renderer_space_scene(
+        pos, nrm, tan, uv, tris4, [GltfMaterial(metallic=0.0)]
     )
 
 
@@ -145,11 +140,21 @@ def load_ply(path: str) -> GltfScene:
                     for p in props:
                         verts[p[2]] = arr[p[2]].astype(np.float64)
             else:
-                # row-by-row (list properties have variable length)
+                # row-by-row (list properties have variable length);
+                # scalar values are still collected so a vertex element
+                # with an auxiliary list property keeps its x/y/z.
+                scalars: Dict[str, list] = {
+                    p[2]: [] for p in props if p[0] == "scalar"
+                }
                 for _ in range(count):
                     for kind, dtype, pname in props:
                         if kind == "scalar":
                             dt = np.dtype(endian + _PLY_DTYPES[dtype])
+                            scalars[pname].append(
+                                np.frombuffer(
+                                    body, dtype=dt, count=1, offset=offset
+                                )[0]
+                            )
                             offset += dt.itemsize
                         else:
                             cnt_dt = np.dtype(endian + _PLY_DTYPES[dtype[0]])
@@ -167,6 +172,9 @@ def load_ply(path: str) -> GltfScene:
                                 "vertex_index",
                             ):
                                 faces.append([int(v) for v in vals])
+                if name == "vertex":
+                    for pname, vals in scalars.items():
+                        verts[pname] = np.asarray(vals, np.float64)
 
     if not {"x", "y", "z"} <= set(verts):
         raise ValueError(f"PLY without x/y/z vertex properties: {path}")

@@ -38,6 +38,8 @@ import numpy as np
 from rustic_tpu.scene.gltf import (
     GltfMaterial,
     GltfScene,
+    _renderer_space_scene,
+    _shininess_to_roughness,
     _smooth_normals,
     _smooth_tangents,
 )
@@ -64,8 +66,7 @@ def _parse_mtl(path: str) -> Dict[str, GltfMaterial]:
 
     def finish():
         if cur is not None and cur_pr is None and cur_ns is not None:
-            # classic Phong shininess -> GGX roughness (Beckmann fit)
-            cur.roughness = float(np.sqrt(2.0 / (cur_ns + 2.0)))
+            cur.roughness = _shininess_to_roughness(cur_ns)
 
     with open(path, "r", errors="replace") as f:
         for line in f:
@@ -167,9 +168,17 @@ def load_obj(path: str) -> GltfScene:
             elif key == "vn":
                 raw_vn.append(tuple(map(float, args[:3])))
             elif key == "mtllib":
-                mtl_by_name.update(
-                    _parse_mtl(os.path.join(base_dir, " ".join(args)))
+                # The spec allows several libraries per line; filenames
+                # may also contain spaces. Prefer the joined name when
+                # it exists, else treat each token as one library.
+                joined = os.path.join(base_dir, " ".join(args))
+                candidates = (
+                    [joined]
+                    if os.path.exists(joined)
+                    else [os.path.join(base_dir, a) for a in args]
                 )
+                for cand in candidates:
+                    mtl_by_name.update(_parse_mtl(cand))
             elif key == "usemtl":
                 name = " ".join(args)
                 if name not in mat_index_by_name:
@@ -210,19 +219,4 @@ def load_obj(path: str) -> GltfScene:
     else:
         nrm = smooth
     tan = _smooth_tangents(pos, uv, nrm, idx3)
-
-    # Renderer-space swizzle (x, z, y) + winding reorder (i0, i2, i1),
-    # identical to the GLB path (reference: src/asset.rs:102-114).
-    triangles = np.empty((len(tri_arr), 4), np.int32)
-    triangles[:, 0] = tri_arr[:, 0]
-    triangles[:, 1] = tri_arr[:, 2]
-    triangles[:, 2] = tri_arr[:, 1]
-    triangles[:, 3] = tri_arr[:, 3]
-    return GltfScene(
-        positions=pos[:, [0, 2, 1]].astype(np.float32),
-        normals=nrm[:, [0, 2, 1]].astype(np.float32),
-        tangents=tan[:, [0, 2, 1]].astype(np.float32),
-        uv0=uv.astype(np.float32),
-        triangles=triangles,
-        materials=materials,
-    )
+    return _renderer_space_scene(pos, nrm, tan, uv, tri_arr, materials)

@@ -299,6 +299,95 @@ def test_fbx_ascii_matches_binary(tmp_path):
     np.testing.assert_array_equal(a.triangles[:, :3], b.triangles[:, :3])
 
 
+def test_fbx_model_hierarchy_composes(tmp_path):
+    """A mesh under a translated parent Model inherits the parent's
+    transform (model->model OO connection)."""
+    verts = np.array([0, 0, 0, 1, 0, 0, 0, 2, 0], np.float64)
+    pvi = np.array([0, 1, -3], np.int32)
+    geometry = (
+        "Geometry",
+        (100, "Geometry::t", "Mesh"),
+        [("Vertices", (verts,), ()), ("PolygonVertexIndex", (pvi,), ())],
+    )
+    child = (
+        "Model",
+        (200, "Model::child", "Mesh"),
+        [_p70(["Lcl Translation", "Lcl Translation", "", "A", 1.0, 0.0, 0.0])],
+    )
+    parent = (
+        "Model",
+        (201, "Model::parent", "Null"),
+        [
+            _p70(
+                ["Lcl Translation", "Lcl Translation", "", "A", 0.0, 5.0, 0.0],
+                ["Lcl Scaling", "Lcl Scaling", "", "A", 2.0, 2.0, 2.0],
+            )
+        ],
+    )
+    conn = (
+        "Connections",
+        (),
+        [("C", ("OO", 100, 200), ()), ("C", ("OO", 200, 201), ())],
+    )
+    path = str(tmp_path / "h.fbx")
+    _write_fbx(path, [("Objects", (), [geometry, child, parent]), conn])
+    scene = load_fbx(path)
+    # FBX (0,0,0) -> child +1x -> (1,0,0) -> parent scale 2 + (0,5,0)
+    # -> (2,5,0); renderer swizzle (x,z,y) -> (2,0,5)
+    np.testing.assert_allclose(
+        scene.positions[scene.triangles[0, 0]], [2.0, 0.0, 5.0], atol=1e-12
+    )
+
+
+def test_fbx_allsame_material_index(tmp_path):
+    """AllSame LayerElementMaterial with Materials=[1] must pick the
+    SECOND connected material for every polygon."""
+    verts = np.array([0, 0, 0, 1, 0, 0, 0, 2, 0], np.float64)
+    pvi = np.array([0, 1, -3], np.int32)
+    geometry = (
+        "Geometry",
+        (100, "Geometry::t", "Mesh"),
+        [
+            ("Vertices", (verts,), ()),
+            ("PolygonVertexIndex", (pvi,), ()),
+            (
+                "LayerElementMaterial",
+                (0,),
+                [
+                    ("MappingInformationType", ("AllSame",), ()),
+                    ("ReferenceInformationType", ("IndexToDirect",), ()),
+                    ("Materials", (np.array([1], np.int32),), ()),
+                ],
+            ),
+        ],
+    )
+    model = ("Model", (200, "Model::t", "Mesh"), [])
+    mat_a = (
+        "Material",
+        (300, "Material::a", ""),
+        [_p70(["DiffuseColor", "Color", "", "A", 1.0, 0.0, 0.0])],
+    )
+    mat_b = (
+        "Material",
+        (301, "Material::b", ""),
+        [_p70(["DiffuseColor", "Color", "", "A", 0.0, 0.0, 1.0])],
+    )
+    conn = (
+        "Connections",
+        (),
+        [
+            ("C", ("OO", 100, 200), ()),
+            ("C", ("OO", 300, 200), ()),
+            ("C", ("OO", 301, 200), ()),
+        ],
+    )
+    path = str(tmp_path / "m.fbx")
+    _write_fbx(path, [("Objects", (), [geometry, model, mat_a, mat_b]), conn])
+    scene = load_fbx(path)
+    m = scene.materials[scene.triangles[0, 3]]
+    np.testing.assert_allclose(m.base_color[:3], (0.0, 0.0, 1.0))
+
+
 def test_fbx_rejects_garbage(tmp_path):
     p = tmp_path / "g.fbx"
     p.write_bytes(b"\x89PNG not a scene")

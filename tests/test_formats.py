@@ -325,6 +325,82 @@ def test_ply_ascii_and_binary_match(tmp_path):
     np.testing.assert_array_equal(a.triangles, b.triangles)
 
 
+def test_stl_soup_normals_weld_across_facets(tmp_path):
+    """STL facets don't share vertices; smooth normals must still weld
+    by position — a roof of two tilted quads gets an averaged (vertical)
+    normal along the shared ridge, not per-facet flat normals."""
+    from rustic_tpu.scene.mesh_formats import load_stl
+
+    #   /\   two triangles meeting at the ridge x=0 (z in STL space)
+    tris = np.array(
+        [
+            [[-2, 0, 0], [0, 2, 0], [-2, 0, 4]],
+            [[0, 2, 0], [2, 0, 0], [2, 0, 4]],
+        ],
+        np.float32,
+    )
+    path = os.path.join(str(tmp_path), "roof.stl")
+    with open(path, "wb") as f:
+        f.write(_stl_binary(tris))
+    scene = load_stl(path)
+    # the ridge vertex (0,2,0) appears in both facets; its normal is the
+    # average of the two slopes => within 45 deg of renderer +z (up)
+    ridge = np.isclose(scene.positions[:, 2], 2.0)
+    assert ridge.sum() == 2
+    # averaged across the two slopes: vertical (pure +-z), not tilted
+    assert np.all(np.abs(scene.normals[ridge][:, 2]) > 0.99)
+    assert np.all(np.abs(scene.normals[ridge][:, 0]) < 1e-6)
+    # non-ridge verts keep their slope normal (x component +-cos45)
+    slope = ~ridge
+    assert np.all(np.abs(np.abs(scene.normals[slope][:, 0]) - np.sqrt(0.5)) < 1e-6)
+
+
+def test_ply_vertex_with_aux_list_property(tmp_path):
+    """A binary vertex element that mixes scalars with a list property
+    must keep its x/y/z (scalars were previously discarded)."""
+    from rustic_tpu.scene.mesh_formats import load_ply
+
+    header = (
+        b"ply\nformat binary_little_endian 1.0\n"
+        b"element vertex 3\n"
+        b"property float x\nproperty float y\nproperty float z\n"
+        b"property list uchar int adjacency\n"
+        b"element face 1\n"
+        b"property list uchar int vertex_indices\n"
+        b"end_header\n"
+    )
+    body = b""
+    for v in ([0, 0, 0], [1, 0, 0], [0, 2, 0]):
+        body += struct.pack("<3f", *v)
+        body += struct.pack("<B2i", 2, 7, 8)  # adjacency list of 2
+    body += struct.pack("<B3i", 3, 0, 1, 2)
+    path = os.path.join(str(tmp_path), "aux.ply")
+    with open(path, "wb") as f:
+        f.write(header + body)
+    scene = load_ply(path)
+    assert scene.triangles.shape == (1, 4)
+    np.testing.assert_allclose(sorted(scene.positions[:, 2]), [0, 0, 2])
+
+
+def test_obj_multiple_mtllibs(tmp_path):
+    """'mtllib a.mtl b.mtl' loads both libraries."""
+    _write(tmp_path, "a.mtl", "newmtl red\nKd 1 0 0\n")
+    _write(tmp_path, "b.mtl", "newmtl blue\nKd 0 0 1\n")
+    scene = load_obj(
+        _write(
+            tmp_path,
+            "two.obj",
+            "mtllib a.mtl b.mtl\n"
+            "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 0 0 1\n"
+            "usemtl red\nf 1 2 3\nusemtl blue\nf 1 2 4\n",
+        )
+    )
+    colors = {
+        tuple(scene.materials[m].base_color[:3]) for m in scene.triangles[:, 3]
+    }
+    assert colors == {(1.0, 0.0, 0.0), (0.0, 0.0, 1.0)}
+
+
 def test_stl_renders_through_from_path(tmp_path):
     """World.from_path dispatch + a light: STL soup renders non-black."""
     from rustic_tpu.config import TracingConfig, RenderSettings

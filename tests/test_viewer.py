@@ -66,6 +66,10 @@ def test_speed_modifiers(cornell_scene):
     v.handle_key("ctrl+w")
     slow = v.state.config.cam_position[2] - z2
     assert np.isclose(fast, 10 * plain) and np.isclose(slow, 0.1 * plain)
+    # matplotlib delivers shift+letter as the bare uppercase letter
+    z3 = v.state.config.cam_position[2]
+    v.handle_key("W")
+    assert np.isclose(v.state.config.cam_position[2] - z3, 10 * plain)
 
 
 def test_sun_controls(cornell_scene):
