@@ -75,7 +75,14 @@ def _init_backend_or_die():
     return box
 
 
-def main():
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spp", type=int, default=SPP)
+    args = ap.parse_args(argv)
+    spp = args.spp
+
     t_start = time.time()
     _init_backend_or_die()
     import jax
@@ -94,7 +101,7 @@ def main():
     config = TracingConfig(
         width=WIDTH, height=HEIGHT, nee=NextEventEstimation.MIS
     )
-    settings = RenderSettings(samples=SPP)
+    settings = RenderSettings(samples=spp)
 
     # Warmup: compiles the program (the reference ships precompiled
     # SPIR-V; XLA compiles on first dispatch). Warm with exactly the
@@ -104,7 +111,7 @@ def main():
     t0 = time.time()
     batch = min(int(settings.batch_pixels), WIDTH * HEIGHT)
     warm = RenderSettings(
-        samples=pick_sample_fold(batch, SPP),
+        samples=pick_sample_fold(batch, spp),
         batch_pixels=settings.batch_pixels,
     )
     render_image(scene, config, warm)
@@ -122,7 +129,7 @@ def main():
         render_times.append(time.time() - t0)
     render_s = min(render_times)
 
-    paths = WIDTH * HEIGHT * SPP
+    paths = WIDTH * HEIGHT * spp
     mpaths_per_s = paths / render_s / 1e6
 
     # Correctness probe: furnace gate on the same backend.
@@ -155,7 +162,7 @@ def main():
         pass
 
     result = {
-        "metric": "DarkCornell 1280x720x160spp camera-path throughput",
+        "metric": f"DarkCornell 1280x720x{spp}spp camera-path throughput",
         "value": round(mpaths_per_s, 2),
         "unit": "Mpaths/s",
         "vs_baseline": round(mpaths_per_s / BASELINE_MPATHS, 3),
@@ -165,13 +172,13 @@ def main():
         "scene_build_s": round(scene_build_s, 2),
         "total_s": round(time.time() - t_start, 2),
         "backend": backend,
-        "spp_per_s": round(SPP / render_s, 2),
+        "spp_per_s": round(spp / render_s, 2),
         "furnace_ok": furnace_ok,
         "film_mean": round(float(film.mean()), 5),
         "pbr_multitile_mpaths": pbr_mpaths,
     }
     print(json.dumps(result))
-    if backend == "tpu":
+    if backend == "tpu" and spp == SPP:
         try:
             with open(LAST_GOOD_PATH, "w") as f:
                 json.dump(

@@ -118,6 +118,8 @@ def _make_config(args) -> TracingConfig:
     w, h = (int(v) for v in args.size.split("x"))
     sun = _parse_vec(args.sun, 3) if args.sun else (0.5, 1.3, 1.0)
     norm = float(np.linalg.norm(sun))
+    if norm < 1e-9:
+        raise SystemExit("--sun must be a non-zero direction vector")
     return TracingConfig(
         width=w,
         height=h,
@@ -147,6 +149,7 @@ def cmd_render(args) -> int:
         denoise=args.denoise,
         use_blue_noise=args.blue_noise,
         tonemap=_TONEMAP[args.tonemap],
+        engine=args.engine,
     )
     print(f"[rustic_tpu] scene ready in {time.time() - t0:.2f}s", file=sys.stderr)
 
@@ -161,8 +164,6 @@ def cmd_render(args) -> int:
 
         state = TracingState(config.width, config.height, config, settings)
         if args.checkpoint:
-            import os
-
             if os.path.exists(args.checkpoint):
                 state = Checkpoint.load(args.checkpoint).into_state(settings)
                 print(
@@ -251,9 +252,22 @@ def main(argv=None) -> int:
     if args.command == "compare":
         return cmd_compare(args)
     if args.command == "bench":
-        import bench
+        import importlib.util
 
-        return bench.main()
+        bench_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "bench.py",
+        )
+        if not os.path.exists(bench_path):
+            print(
+                "bench.py not found — run from a repository checkout",
+                file=sys.stderr,
+            )
+            return 1
+        spec = importlib.util.spec_from_file_location("bench", bench_path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.main(["--spp", str(args.spp)])
     return 1
 
 

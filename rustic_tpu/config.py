@@ -157,3 +157,7 @@ class RenderSettings:
     use_blue_noise: bool = False
     tonemap: Tonemapping = Tonemapping.NONE
     batch_pixels: int = 1 << 20  # wavefront megabatch size (paths per dispatch)
+    # Intersection engine for progressive/interactive drivers (the
+    # reference's CPU/GPU dropdown analog); one-shot render_image takes
+    # it as an explicit argument instead.
+    engine: str = "auto"

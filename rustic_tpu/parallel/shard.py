@@ -80,12 +80,10 @@ def sharded_step(
 
 
 @functools.lru_cache(maxsize=8)
-def _compiled_sharded(mesh_key, cfg: StaticConfig, n_samples: int, engine: str):
-    mesh = _MESHES[mesh_key]
+def _compiled_sharded(mesh: Mesh, cfg: StaticConfig, n_samples: int, engine: str):
+    # Mesh is hashable, so the lru_cache holds it directly — no
+    # unbounded id->Mesh side table keeping evicted meshes alive.
     return sharded_step(mesh, cfg, n_samples, engine)
-
-
-_MESHES = {}
 
 
 def assemble_film(film_local: np.ndarray) -> np.ndarray:
@@ -115,8 +113,6 @@ def render_sharded(
     """Full-frame multi-chip render; returns mean film [H, W, 3]."""
     settings = settings or RenderSettings()
     mesh = mesh or make_mesh()
-    key = id(mesh)
-    _MESHES[key] = mesh
 
     w, h = config.width, config.height
     n_px = w * h
@@ -130,7 +126,7 @@ def render_sharded(
         pixel_offsets(w, h, settings.use_blue_noise), (0, pad)
     )
 
-    fn = _compiled_sharded(key, config.static_part(), settings.samples, engine)
+    fn = _compiled_sharded(mesh, config.static_part(), settings.samples, engine)
     film = fn(
         scene,
         config.dynamic_part(),
@@ -140,5 +136,8 @@ def render_sharded(
         jnp.uint32(0),
         jnp.zeros((len(px), 3), jnp.float32),
     )
-    film = np.asarray(film)[:n_px] / max(settings.samples, 1)
+    # assemble_film gathers across processes on multi-host runs (a raw
+    # np.asarray on a globally-sharded array would raise there); it is
+    # the identity single-process.
+    film = assemble_film(film)[:n_px] / max(settings.samples, 1)
     return film.reshape(h, w, 3)

@@ -73,10 +73,16 @@ class TracingState:
 
     def reset(self):
         self.samples = 0
-        self._film_sum = jnp.zeros_like(self._film_sum)
-        self._offsets = pixel_offsets(
-            self.config.width, self.config.height, self.settings.use_blue_noise
-        )
+        w, h = self.config.width, self.config.height
+        if w * h != len(self._px):
+            # resolution changed via set_config: rebuild the pixel set
+            self._px = np.mgrid[0:h, 0:w][1].reshape(-1).astype(np.int32)
+            self._py = np.mgrid[0:h, 0:w][0].reshape(-1).astype(np.int32)
+            self._film_sum = jnp.zeros((w * h, 3), jnp.float32)
+            self.framebuffer = np.zeros((h, w, 3), np.float32)
+        else:
+            self._film_sum = jnp.zeros_like(self._film_sum)
+        self._offsets = pixel_offsets(w, h, self.settings.use_blue_noise)
         self._dirty = False
 
     # -- stepping -----------------------------------------------------------
@@ -97,6 +103,7 @@ class TracingState:
             n,
             offsets=self._offsets,
             sample_start=self.samples,
+            engine=self.settings.engine,
             film_in=self._film_sum,
         )
         self.samples += n
@@ -143,8 +150,14 @@ class Checkpoint:
     config: TracingConfig
 
     def save(self, path: str):
+        # write through a file object: np.savez appends '.npz' to bare
+        # string paths, which would break the resume-path existence check
+        with open(path, "wb") as f:
+            self._savez(f)
+
+    def _savez(self, f):
         np.savez_compressed(
-            path,
+            f,
             film_sum=self.film_sum,
             samples=self.samples,
             config=np.asarray(
@@ -196,8 +209,13 @@ class Checkpoint:
         state = TracingState(
             self.config.width, self.config.height, self.config, settings
         )
-        mean = self.film_sum / max(self.samples, 1)
-        state.restore(
-            mean.reshape(self.config.height, self.config.width, 3), self.samples
+        # assign the stored sum directly — a mean round-trip through
+        # restore() would add avoidable float32 error to the accumulator
+        state._film_sum = jnp.asarray(
+            np.asarray(self.film_sum, np.float32).reshape(-1, 3)
         )
+        state.samples = int(self.samples)
+        state.framebuffer = (
+            np.asarray(self.film_sum, np.float32) / max(int(self.samples), 1)
+        ).reshape(self.config.height, self.config.width, 3)
         return state

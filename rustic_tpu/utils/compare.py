@@ -74,7 +74,10 @@ def reference_compare(
                 config,
                 RenderSettings(samples=reference_samples or samples * 4),
             )
-            np.save(reference_path, ref)
+            # file object: np.save appends '.npy' to bare string paths,
+            # which would break the np.load right below
+            with open(reference_path, "wb") as f:
+                np.save(f, ref)
         else:
             return None
     ref = np.load(reference_path)

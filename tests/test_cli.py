@@ -117,3 +117,56 @@ def test_dot_flag_parses():
         ["render", "x.glb", "--dot", "mixed2"]
     )
     assert args.dot == "mixed2"
+
+
+def test_cli_dot_flag_renders(tmp_path, monkeypatch):
+    """--dot sets RUSTIC_FLASH_DOT before rendering (regression: a
+    function-local 'import os' shadowed the module import and raised
+    UnboundLocalError whenever --dot was not 'auto')."""
+    monkeypatch.delenv("RUSTIC_FLASH_DOT", raising=False)
+    out = os.path.join(tmp_path, "d.png")
+    rc = main(
+        [
+            "render", scene_path("DarkCornell.glb"),
+            "--out", out, "--spp", "1", "--size", "8x8",
+            "--bounces", "1", "--dot", "f32",
+        ]
+    )
+    assert rc == 0
+    assert os.environ.get("RUSTIC_FLASH_DOT") == "f32"
+    os.environ.pop("RUSTIC_FLASH_DOT", None)
+    assert os.path.exists(out)
+
+
+def test_cli_checkpoint_without_npz_suffix(tmp_path):
+    """Checkpoint paths without '.npz' must resume (np.savez used to
+    append the suffix, so the resume existence check never fired)."""
+    ckpt = os.path.join(tmp_path, "ckpt")  # no extension
+
+    def args(spp):
+        return [
+            "render", scene_path("DarkCornell.glb"),
+            "--out", os.path.join(tmp_path, "c.png"),
+            "--spp", str(spp), "--size", "8x8", "--bounces", "1",
+            "--checkpoint", ckpt,
+        ]
+
+    assert main(args(2)) == 0
+    assert os.path.exists(ckpt)
+
+    from rustic_tpu.runtime.state import Checkpoint
+
+    assert Checkpoint.load(ckpt).samples == 2
+    # resume continues toward the (raised) total target
+    assert main(args(4)) == 0
+    assert Checkpoint.load(ckpt).samples == 4
+
+
+def test_cli_zero_sun_rejected():
+    with pytest.raises(SystemExit):
+        main(
+            [
+                "render", scene_path("DarkCornell.glb"),
+                "--spp", "1", "--size", "8x8", "--sun", "0,0,0",
+            ]
+        )

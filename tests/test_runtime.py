@@ -103,3 +103,48 @@ def test_render_image_batching_consistent(cornell_scene, small_cfg):
     a = render_image(cornell_scene, small_cfg, s_one)
     b = render_image(cornell_scene, small_cfg, s_chunked)
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_resize_via_set_config(cornell_scene, small_cfg):
+    """set_config(width/height) rebuilds the pixel set at the next step
+    (regression: reset() left stale px/py/film at the old resolution)."""
+    state = TracingState(16, 16, small_cfg, RenderSettings(sync_rate=1))
+    state.step(cornell_scene)
+    state.set_config(width=8, height=8)
+    frame = state.step(cornell_scene)
+    assert frame.shape == (8, 8, 3)
+    assert state.samples == 1  # accumulation restarted
+
+
+def test_settings_engine_reaches_render(cornell_scene, small_cfg, monkeypatch):
+    """The progressive driver honors RenderSettings.engine."""
+    import rustic_tpu.runtime.state as state_mod
+
+    seen = {}
+    real = state_mod.render_pixels
+
+    def spy(*a, **kw):
+        seen["engine"] = kw.get("engine")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(state_mod, "render_pixels", spy)
+    st = TracingState(
+        8, 8, small_cfg, RenderSettings(sync_rate=1, engine="brute")
+    )
+    st.step(cornell_scene)
+    assert seen["engine"] == "brute"
+
+
+def test_checkpoint_resume_is_exact(cornell_scene, small_cfg, tmp_path):
+    """into_state assigns the stored film sum directly — no mean
+    round-trip error."""
+    from rustic_tpu.runtime.state import Checkpoint
+
+    state = TracingState(8, 8, small_cfg, RenderSettings(sync_rate=3))
+    state.step(cornell_scene)
+    ck = Checkpoint.from_state(state)
+    resumed = ck.into_state(RenderSettings(sync_rate=3))
+    np.testing.assert_array_equal(
+        np.asarray(resumed._film_sum), np.asarray(state._film_sum)
+    )
+    assert resumed.samples == state.samples
