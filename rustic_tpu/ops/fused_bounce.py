@@ -310,7 +310,9 @@ def shade_tile(
 
     # ---- russian roulette ---------------------------------------------------
     if bounce > cfg.min_bounces:
-        prob = jnp.max(throughput, axis=-1)
+        # clamped to 1 (matches ops/trace.py — the reference's unclamped
+        # form loses energy when max(throughput) > 1)
+        prob = jnp.minimum(jnp.max(throughput, axis=-1), 1.0)
         killed = alive_new & (draws[:, 7] > prob)
         alive_new = alive_new & ~killed
         throughput = jnp.where(

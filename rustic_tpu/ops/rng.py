@@ -17,11 +17,41 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-# Square roots of primes as 0.32 fixed point; the classic R2-style
-# additive-recurrence multipliers (reference: kernels/src/rng.rs:21-26,
-# originally from shadertoy NlGXzz).
-LDS_MAX_DIMENSIONS = 32
-_LDS_PRIMES = np.array(
+# Square roots of primes as 0.32 fixed point — frac(sqrt(p_k)) * 2^32,
+# the classic R2-style additive-recurrence multipliers (reference:
+# kernels/src/rng.rs:21-26, originally from shadertoy NlGXzz; the first
+# 8 are the SHA-256 H constants). The reference bakes 32 entries and
+# indexes them directly (panicking past ~4 bounces, rng.rs:19,31); our
+# static per-draw-site assignment reserves 8 dims per bounce, so 32
+# entries would wrap bounce-3 draws onto the AA-jitter dims (exact,
+# systematic correlation). The table is therefore extended with the
+# same construction, sized for 15 bounces, keeping the reference's 32
+# baked values verbatim for bit parity on the dims it can express.
+
+
+def _sqrt_prime_fixed(count: int) -> np.ndarray:
+    """First `count` entries of floor(frac(sqrt(prime_k)) * 2^32),
+    computed exactly via integer sqrt (no float rounding)."""
+    import math
+
+    primes = []
+    n = 2
+    while len(primes) < count:
+        if all(n % p for p in primes if p * p <= n):
+            primes.append(n)
+        n += 1
+    # floor(sqrt(p) * 2^32) = isqrt(p << 64); its low 32 bits are the
+    # fractional part in 0.32 fixed point.
+    return np.array(
+        [math.isqrt(p << 64) & 0xFFFFFFFF for p in primes], dtype=np.uint32
+    )
+
+
+LDS_MAX_DIMENSIONS = 128
+# Dims 0..31: the reference's table verbatim (bit parity — its values
+# carry the original shadertoy's float rounding, so they differ from
+# the exact construction by 1-2 ulp and two transcription quirks).
+_REFERENCE_PRIMES = np.array(
     [
         0x6A09E667, 0xBB67AE84, 0x3C6EF372, 0xA54FF539,
         0x510E527F, 0x9B05688A, 0x1F83D9AB, 0x5BE0CD18,
@@ -33,6 +63,10 @@ _LDS_PRIMES = np.array(
         0x70B7ED67, 0xA1513C68, 0x44F93634, 0x720DCDFC,
     ],
     dtype=np.uint32,
+)
+# Dims 32+: exactly-constructed continuation (primes 137, 139, ...).
+_LDS_PRIMES = np.concatenate(
+    [_REFERENCE_PRIMES, _sqrt_prime_fixed(LDS_MAX_DIMENSIONS)[32:]]
 )
 
 _INV_U32 = np.float32(1.0 / 4294967296.0)
@@ -46,7 +80,9 @@ def lds(n, dimension: int, offset):
 
     Args:
       n: uint32 array — sample index (the reference's rng.state.x).
-      dimension: static python int — draw-site dimension (wrapped mod 32).
+      dimension: static python int — draw-site dimension (wrapped mod
+        LDS_MAX_DIMENSIONS=128; the default 8-dims-per-bounce layout
+        stays collision-free through 15 bounces).
       offset: uint32 array broadcastable to n — per-pixel decorrelation
         offset (the reference's rng.state.y).
     """

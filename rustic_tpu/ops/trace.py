@@ -40,7 +40,12 @@ from rustic_tpu.config import CameraParams, StaticConfig
 from rustic_tpu.ops import bsdf as bsdf_mod
 from rustic_tpu.ops import nee as nee_mod
 from rustic_tpu.ops import sampling as s
-from rustic_tpu.ops.intersect import TraceResult, intersect_any, intersect_nearest
+from rustic_tpu.ops.intersect import (
+    TraceResult,
+    gather_attr_rows,
+    intersect_any,
+    intersect_nearest,
+)
 from rustic_tpu.ops.rng import lds
 from rustic_tpu.ops.skybox import sky_radiance
 from rustic_tpu.ops.texture import sample_atlas
@@ -194,7 +199,7 @@ def bounce_pre(
     radiance = st.radiance
 
     if attrs is None:
-        attrs = scene.tri_attrs[jnp.clip(res.tri_idx, 0, scene.n_tris - 1)]
+        attrs = gather_attr_rows(scene, res.tri_idx)
 
     hit_pos = ro + rd * res.t[..., None]
 
@@ -249,6 +254,10 @@ def bounce_pre(
     w_c = res.v[..., None]
     w_a = 1.0 - w_b - w_c
     nrm = attrs[:, W.ATTR_NRM]
+    # NOT renormalized — deliberate parity with the reference, which
+    # shades with the raw barycentric blend (kernels/src/lib.rs:125;
+    # only its normal-map branch normalizes, lib.rs:140). |n| < 1 on
+    # coarse meshes slightly darkens NEE; kept to match its images.
     normal = w_a * nrm[:, 0:3] + w_b * nrm[:, 3:6] + w_c * nrm[:, 6:9]
     uvs = attrs[:, W.ATTR_UV]
     uv = w_a * uvs[:, 0:2] + w_b * uvs[:, 2:4] + w_c * uvs[:, 4:6]
@@ -338,7 +347,11 @@ def bounce_pre(
 
     # ---- russian roulette (kernels/src/lib.rs:174-181) ---------------------
     if bounce > cfg.min_bounces:
-        prob = jnp.max(throughput, axis=-1)
+        # Clamped to 1, unlike the reference: its unclamped
+        # `throughput /= prob` loses energy whenever max(throughput) > 1
+        # (survival is certain but the weight still shrinks) — a real
+        # estimator bug there, inactive at its default 4/3 bounce config.
+        prob = jnp.minimum(jnp.max(throughput, axis=-1), 1.0)
         roll = draws[:, 7]
         killed = alive & (roll > prob)
         alive = alive & ~killed

@@ -52,7 +52,6 @@ from rustic_tpu.ops.flash_intersect import (
 _SORT_PATHS = os.environ.get("RUSTIC_SORT_PATHS", "1") == "1"
 from rustic_tpu.ops.flash_intersect import near_edge_margin, resolve_precision
 from rustic_tpu.ops.intersect import (
-    BIG,
     _ray_features16,
     classify_flash_hit,
     classify_flash_hit2,
@@ -267,7 +266,12 @@ def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1,
                 t2, idx2, attrs2, sidx, offsets):
             st = st._replace(ro=feats[:, 6:9], rd=feats[:, 0:3])
             if prev_nee is not None:
-                st = trace_mod.bounce_post(st, prev_nee, prev_occ)
+                # prev_nee is the slim (eligible, contribution) pair —
+                # bounce_post only ever read those two fields, and the
+                # shadow geometry already rode in the packed features.
+                st = st._replace(
+                    radiance=_fold_slim_nee(st.radiance, prev_nee, prev_occ)
+                )
             if attrs is None:
                 attrs = gather_attr_rows(scene, idx)
                 if t2 is not None:
@@ -308,8 +312,11 @@ def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1,
             # Shadow max_t rides in the spare feature column 10 so the
             # occlusion scan can be folded into the NEXT bounce's nearest
             # kernel (flash_nearest_shadow) — one triangle-tile pass
-            # serves both ray sets.
-            return st2, next_feats, (nee_pack, _shadow_feats16(nee_pack))
+            # serves both ray sets. Only the slim (eligible,
+            # contribution) pair crosses the boundary; the other 7
+            # NEEPack columns are already inside shadow_feats.
+            slim = (nee_pack.eligible, nee_pack.contribution)
+            return st2, next_feats, (slim, _shadow_feats16(nee_pack))
 
         return pre
 
@@ -348,14 +355,14 @@ def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False,
     owed a shadow-visibility result for this bounce's NEE sample — a
     roulette-killed lane still carries its direct-light candidate to the
     next kernel, so it must survive one more stage. Schedules come from
-    measuring group 0 (see _render_batch_sorted); if the measurement
+    a strided pilot probe (_pilot_schedule); if the measurement
     under-predicted, the stage raises an overflow flag (an undroppable
     lane in the dropped tail) and the driver re-renders that window
     uncompacted — compaction is an optimization, never a bias.
 
     With a schedule, each pre additionally threads (film, oflow);
     without one, each non-final pre returns its keep count so the
-    driver can measure a schedule from the first sample group."""
+    pilot probe can measure a schedule."""
 
     @jax.jit
     def init(cam, px, py, sample_idx, offsets):
@@ -382,7 +389,10 @@ def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False,
         def pre(scene, cam, st, prev_nee, prev_occ, t, idx, t2, idx2,
                 sidx, offsets, lane2px, film=None, oflow=None):
             if prev_nee is not None:
-                st = trace_mod.bounce_post(st, prev_nee, prev_occ)
+                # slim (eligible, contribution) carry — see _stages.pre
+                st = st._replace(
+                    radiance=_fold_slim_nee(st.radiance, prev_nee, prev_occ)
+                )
             attrs = gather_attr_rows(scene, idx)
             attrs2 = None if t2 is None else gather_attr_rows(scene, idx2)
             if t2 is None and trust_kernel:
@@ -417,20 +427,23 @@ def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False,
             next_feats = _sentinel_feats(
                 _ray_features16(st2.ro, st2.rd), ~st2.alive
             )
-            shadow_feats = None
+            shadow_feats = slim = None
             keep = st2.alive
             if nee_pack is not None:
                 shadow_feats = _sentinel_feats(
                     _shadow_feats16(nee_pack), ~nee_pack.eligible
                 )
                 keep = keep | nee_pack.eligible
+                # only the slim pair crosses the boundary (and the
+                # permute): the shadow geometry is inside shadow_feats
+                slim = (nee_pack.eligible, nee_pack.contribution)
             # Droppable lanes (not `keep`) sort last so a compacted head
             # slice keeps every lane that still owes work.
             perm = _sort_perm(scene, st2, ~keep)
-            st2, nee_pack, next_feats, shadow_feats, sidx, offsets, lane2px, keep = (
+            st2, slim, next_feats, shadow_feats, sidx, offsets, lane2px, keep = (
                 _permute_lanes(
                     perm,
-                    (st2, nee_pack, next_feats, shadow_feats, sidx, offsets,
+                    (st2, slim, next_feats, shadow_feats, sidx, offsets,
                      lane2px, keep),
                 )
             )
@@ -456,7 +469,7 @@ def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False,
                 oflow = oflow | jnp.any(keep[k_out:])
                 head = lambda a: a[:k_out]
                 st2 = jax.tree_util.tree_map(head, st2)
-                nee_pack = jax.tree_util.tree_map(head, nee_pack)
+                slim = jax.tree_util.tree_map(head, slim)
                 next_feats = head(next_feats)
                 if shadow_feats is not None:
                     shadow_feats = head(shadow_feats)
@@ -464,9 +477,7 @@ def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False,
                     head(sidx), head(offsets), head(lane2px)
                 )
             n_keep = jnp.sum(keep.astype(jnp.int32))
-            nee_out = (
-                None if nee_pack is None else (nee_pack, shadow_feats)
-            )
+            nee_out = None if slim is None else (slim, shadow_feats)
             if schedule is not None:
                 return (
                     st2, next_feats, nee_out, sidx, offsets, lane2px,
@@ -544,7 +555,6 @@ def render_batch_fused(
 ) -> jnp.ndarray:
     """Render through the fused mega-bounce kernel: per bounce exactly
     two executables (fused shade+trace, packed occlusion)."""
-    from rustic_tpu.ops.flash_intersect import flash_occlude_packed
     from rustic_tpu.ops.fused_bounce import fused_bounce
 
     init, finish = _fused_glue(cfg)
@@ -579,6 +589,11 @@ def render_batch_fused(
                     sh, scene.tri_feats16, scene.tile_aabbs, interpret=interpret
                 )
         film = finish(state, occ, film)
+        # Bound queued-intermediate HBM like the staged path: without a
+        # periodic hard sync every sample's dispatch chain stays queued
+        # (observed RESOURCE_EXHAUSTED on the staged path before its
+        # throttle landed).
+        _throttle(film, k)
     return film
 
 
@@ -615,8 +630,11 @@ def render_batch_staged(
     fold = pick_sample_fold(px.shape[0], n_samples)
     tiled = _tile_inputs((px, py, offsets), fold)
     # Single-tile scenes with a bit-exact attr split get the winner's
-    # shading row straight from the kernel (no consumer gather).
-    kattrs = scene.tri_attrs_split
+    # shading row straight from the kernel (no consumer gather). Guarded
+    # on multi_tile: the split table also exists for small-T_pad
+    # multi-tile packings (RUSTIC_TT < 512 with sorting disabled), but
+    # the in-kernel attr path is single-tile only.
+    kattrs = scene.tri_attrs_split if not multi_tile else None
     # The LAST bounce's shadow rays of group k ride group k+1's bounce-0
     # nearest kernel (same merged executable as mid-bounce), so the
     # standalone occlusion scan runs once per render, not once per
@@ -790,8 +808,8 @@ def _render_batch_sorted(
 ):
     """Staged driver with per-bounce path re-sorting and compaction.
 
-    Group 0 runs uncompacted and measures per-bounce keep counts; the
-    measured (quantized) schedule then compacts every following group.
+    A strided pilot probe (_pilot_schedule) measures per-bounce keep
+    counts once; the quantized schedule then compacts every group.
     Compacted groups accumulate into a side film with an overflow flag;
     every _THROTTLE_GROUPS_SORTED groups the flag is read back at the
     throttle sync — clean windows merge into the main film, overflowed
@@ -816,7 +834,6 @@ def _render_batch_sorted(
         st, feats, sidx, lane2px = init(cam, pxg, pyg, sample_idx, offg)
         offsets_s = offg
         prev_nee = pending_shadow = None
-        counts = []
         for bounce in range(cfg.max_bounces):
             if pending_shadow is None:
                 t, idx, t2, i2 = flash_nearest(
@@ -840,8 +857,9 @@ def _render_batch_sorted(
             elif bounce == cfg.max_bounces - 1:
                 st, feats, nee, sidx, offsets_s, lane2px = outs
             else:
-                st, feats, nee, sidx, offsets_s, lane2px, nk = outs
-                counts.append(nk)
+                # nk (the keep count) is only consumed by the pilot
+                # measurement pass (_pilot_schedule), not here
+                st, feats, nee, sidx, offsets_s, lane2px, _nk = outs
             prev_nee = pending_shadow = None
             if nee is not None:
                 prev_nee, pending_shadow = nee
@@ -855,7 +873,7 @@ def _render_batch_sorted(
                 != 0
             )
         film_in = finish(st, prev_nee, final_occ, film_in, lane2px)
-        return film_in, oflow, counts
+        return film_in, oflow
 
     lanes = px.shape[0] * fold
     schedule = _pilot_schedule(
@@ -876,7 +894,7 @@ def _render_batch_sorted(
             schedule = None
             for k2 in window_ks:
                 g2 = min(fold, n_samples - k2)
-                film, _, _ = run_group(k2, g2, None, film, None)
+                film, _ = run_group(k2, g2, None, film, None)
             np.asarray(film[:1])
         else:
             film = film + window_film
@@ -886,13 +904,13 @@ def _render_batch_sorted(
     for k in range(0, n_samples, fold):
         g = min(fold, n_samples - k)
         if g != fold or schedule is None:
-            film, _, _ = run_group(k, g, None, film, None)
+            film, _ = run_group(k, g, None, film, None)
             _throttle(film, k // fold, _THROTTLE_GROUPS_SORTED)
         else:
             if window_film is None:
                 window_film = jnp.zeros_like(film)
                 window_oflow = jnp.zeros((), bool)
-            window_film, window_oflow, _ = run_group(
+            window_film, window_oflow = run_group(
                 k, g, schedule, window_film, window_oflow
             )
             window_ks.append(k)

@@ -13,11 +13,27 @@ def test_lds_range_and_determinism():
         np.testing.assert_array_equal(v, v2)
 
 
-def test_lds_dimension_wraps_mod_32():
+def test_lds_dimension_table():
+    """128-entry extended table: dims wrap at 128 (not 32 — a 32-dim
+    wrap collided bounce-3 draws with the AA jitter dims), the first 32
+    entries stay bit-identical to the reference's baked constants
+    (reference: kernels/src/rng.rs:21-26), and the extension follows
+    the same frac(sqrt(prime)) * 2^32 construction."""
     n = jnp.arange(64, dtype=jnp.uint32)
     a = np.asarray(rng.lds(n, 1, jnp.uint32(7)))
     b = np.asarray(rng.lds(n, 33, jnp.uint32(7)))
-    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, b)  # the old mod-32 collision is gone
+    c = np.asarray(rng.lds(n, 5, jnp.uint32(7)))
+    d = np.asarray(rng.lds(n, 5 + rng.LDS_MAX_DIMENSIONS, jnp.uint32(7)))
+    np.testing.assert_array_equal(c, d)  # wraps at the table size
+
+    assert rng.LDS_MAX_DIMENSIONS == 128
+    assert int(rng._LDS_PRIMES[0]) == 0x6A09E667  # sqrt(2), reference[0]
+    assert int(rng._LDS_PRIMES[31]) == 0x720DCDFC  # reference[31]
+    # entry 32 = frac(sqrt(137)) * 2^32, exactly
+    import math
+
+    assert int(rng._LDS_PRIMES[32]) == (math.isqrt(137 << 64) & 0xFFFFFFFF)
 
 
 def test_lds_equidistribution():
