@@ -155,10 +155,13 @@ def section_4(_spp):
     os.environ.pop("RUSTIC_FLASH_DOT", None)
 
 
-def section_5(_spp):
-    """Ground-truth films for the scenes still missing from
-    assets/reference/ (f32 dot, bvh oracle engine, 256x144 @ 1024 spp —
-    same protocol as the committed darkcornell/furnace/veachmis films)."""
+def section_5(_spp, refresh=False):
+    """Ground-truth films for assets/reference/ (f32 dot, bvh oracle
+    engine, 256x144 — the protocol of tests/test_reference_films.py).
+    With --refresh-films every film re-renders even if present (use
+    after sampler changes: the pre-2026-08-18 films predate the LDS
+    mod-32 collision fix, so their bounce-3 direct lighting carries a
+    tiny systematic bias)."""
     from rustic_tpu.config import (
         NextEventEstimation,
         RenderSettings,
@@ -167,29 +170,38 @@ def section_5(_spp):
     from rustic_tpu.runtime.render import render_image
 
     ref_dir = os.path.join(os.path.dirname(SCENES), "reference")
+    mis = dict(nee=NextEventEstimation.MIS)
     cases = [
-        ("GlassTest.glb", None, "glasstest_256x144_1024spp.npy",
-         dict(cam_position=(0.0, 2.2, -6.5), cam_rotation=(0.15, 0.0))),
-        ("BreakTime.glb", "BreakTimeSky.npy", "breaktime_256x144_1024spp.npy",
-         dict(cam_position=(0.0, 1.8, -3.2), has_skybox=True)),
+        ("DarkCornell.glb", None, "darkcornell_256x144_2048spp.npy",
+         2048, mis),
+        ("FurnaceTest.glb", None, "furnacetest_256x144_1024spp.npy",
+         1024, {}),
+        ("VeachMIS.glb", None, "veachmis_256x144_1024spp.npy", 1024,
+         dict(cam_position=(5.0, 3.0, -10.0), cam_rotation=(0.25, 0.05),
+              **mis)),
+        ("GlassTest.glb", None, "glasstest_256x144_1024spp.npy", 1024,
+         dict(cam_position=(0.0, 2.2, -6.5), cam_rotation=(0.15, 0.0),
+              **mis)),
+        ("BreakTime.glb", "BreakTimeSky.npy",
+         "breaktime_256x144_1024spp.npy", 1024,
+         dict(cam_position=(0.0, 1.8, -3.2), has_skybox=True, **mis)),
     ]
     os.environ["RUSTIC_FLASH_DOT"] = "f32"
-    for name, sky, out, cfg_kw in cases:
+    for name, sky, out, spp, cfg_kw in cases:
         path = os.path.join(ref_dir, out)
-        if os.path.exists(path):
+        if os.path.exists(path) and not refresh:
             emit(section=5, film=out, skipped="already present")
             continue
         try:
             scene = _load(name, sky)
-            config = TracingConfig(
-                width=256, height=144, nee=NextEventEstimation.MIS, **cfg_kw
-            )
+            config = TracingConfig(width=256, height=144, **cfg_kw)
             t0 = time.time()
             film = np.asarray(
-                render_image(scene, config, RenderSettings(samples=1024),
+                render_image(scene, config, RenderSettings(samples=spp),
                              engine="bvh")
             )
-            np.save(path, film)
+            with open(path, "wb") as f:
+                np.save(f, film)
             emit(section=5, film=out, wall_s=round(time.time() - t0, 1),
                  mean=round(float(film.mean()), 5))
         except Exception as e:
@@ -205,14 +217,18 @@ def main():
         "--films", action="store_true",
         help="also render missing assets/reference/ ground-truth films",
     )
+    ap.add_argument(
+        "--refresh-films", action="store_true",
+        help="re-render ALL ground-truth films (after sampler changes)",
+    )
     args = ap.parse_args()
     import jax
 
     emit(backend=jax.default_backend(), devices=len(jax.devices()))
     for s in (int(v) for v in args.sections.split(",")):
         {1: section_1, 2: section_2, 3: section_3, 4: section_4}[s](args.spp)
-    if args.films:
-        section_5(args.spp)
+    if args.films or args.refresh_films:
+        section_5(args.spp, refresh=args.refresh_films)
 
 
 if __name__ == "__main__":
