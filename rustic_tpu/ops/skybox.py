@@ -37,6 +37,8 @@ def _escape(p, d, r):
     t1 = -b - sq
     t2 = -b + sq
     t = jnp.where(t1 >= 0.0, t1, t2)
+    # t2 can still be negative (origin outside the sphere, facing away);
+    # the reference returns it unchecked too (skybox.rs:31) — parity.
     return jnp.where(det < 0.0, -1.0, t)
 
 
@@ -124,7 +126,9 @@ def image_sky(
     v = 1.0 - (0.5 + jnp.arcsin(jnp.clip(y, -1.0, 1.0)) / jnp.pi)
     uv = jnp.stack([u, v], axis=-1)
     intensity = sun_direction[3] * (1.0 / 15.0)
-    return sample_bilinear(skybox, uv)[..., :3] * intensity
+    # wrap_x: the azimuth seam must interpolate across u = 0/1 (a clamp
+    # leaves an unfiltered vertical line at the wrap longitude)
+    return sample_bilinear(skybox, uv, wrap_x=True)[..., :3] * intensity
 
 
 def sky_radiance(scene, has_skybox: bool, sun_direction, ro, rd):

@@ -13,11 +13,23 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def sample_bilinear(image: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+def sample_bilinear(
+    image: jnp.ndarray,
+    uv: jnp.ndarray,
+    tap_lo=None,
+    tap_hi=None,
+    wrap_x: bool = False,
+) -> jnp.ndarray:
     """Bilinearly sample image [H, W, C] at uv [..., 2] in [0, 1].
 
     Matches the polyfill's exact weights: floor/ceil texel pair with
     frac(uv * size) interpolation (image_polyfill.rs:38-55).
+
+    tap_lo/tap_hi ([..., 2] int32, inclusive) bound the texel taps to a
+    sub-rect — used by the atlas so a cell's bilinear footprint never
+    bleeds into the neighboring texture's cell. wrap_x wraps the x taps
+    instead of clamping (equirect panoramas: the azimuth seam must
+    interpolate across u = 0/1).
     """
     h, w = image.shape[0], image.shape[1]
     flat = image.reshape(h * w, image.shape[2])
@@ -27,10 +39,21 @@ def sample_bilinear(image: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     y0 = jnp.floor(scaled[..., 1]).astype(jnp.int32)
     x1 = jnp.ceil(scaled[..., 0]).astype(jnp.int32)
     y1 = jnp.ceil(scaled[..., 1]).astype(jnp.int32)
-    x0 = jnp.clip(x0, 0, w - 1)
-    x1 = jnp.clip(x1, 0, w - 1)
-    y0 = jnp.clip(y0, 0, h - 1)
-    y1 = jnp.clip(y1, 0, h - 1)
+    if wrap_x:
+        x0 = jnp.mod(x0, w)
+        x1 = jnp.mod(x1, w)
+    elif tap_lo is not None:
+        x0 = jnp.clip(x0, tap_lo[..., 0], tap_hi[..., 0])
+        x1 = jnp.clip(x1, tap_lo[..., 0], tap_hi[..., 0])
+    else:
+        x0 = jnp.clip(x0, 0, w - 1)
+        x1 = jnp.clip(x1, 0, w - 1)
+    if tap_lo is not None and not wrap_x:
+        y0 = jnp.clip(y0, tap_lo[..., 1], tap_hi[..., 1])
+        y1 = jnp.clip(y1, tap_lo[..., 1], tap_hi[..., 1])
+    else:
+        y0 = jnp.clip(y0, 0, h - 1)
+        y1 = jnp.clip(y1, 0, h - 1)
 
     c00 = flat[y0 * w + x0]
     c10 = flat[y0 * w + x1]
@@ -45,6 +68,17 @@ def sample_bilinear(image: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
 
 def sample_atlas(atlas: jnp.ndarray, uvst: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     """Sample an atlas sub-rect: atlas_uv = uvst.xy + uv * uvst.zw
-    (reference: kernels/src/bsdf.rs:356-357)."""
+    (reference: kernels/src/bsdf.rs:356-357).
+
+    Taps are bounded to the sub-rect so uv at/near 1.0 never blends the
+    neighboring cell's texels (the reference bleeds there on both of
+    its backends — quadtree cells have no gutter, src/atlas.rs:26-90)."""
+    h, w = atlas.shape[0], atlas.shape[1]
+    size = jnp.asarray([w, h], jnp.float32)
     scaled = uvst[..., 0:2] + uv * uvst[..., 2:4]
-    return sample_bilinear(atlas, scaled)
+    # Quadtree cells are texel-aligned, so round() recovers the exact
+    # integer rect; taps stay in [first texel, last texel] of the cell.
+    lo = jnp.round(uvst[..., 0:2] * size).astype(jnp.int32)
+    hi = jnp.round((uvst[..., 0:2] + uvst[..., 2:4]) * size).astype(jnp.int32)
+    hi = jnp.maximum(hi - 1, lo)
+    return sample_bilinear(atlas, scaled, tap_lo=lo, tap_hi=hi)

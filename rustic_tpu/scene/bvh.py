@@ -97,6 +97,10 @@ def _build_bvh_numpy(
 
     perm = np.arange(n_tris)
 
+    if n_tris == 0:
+        raise ValueError(
+            "scene has no triangle geometry (cameras/lights only?)"
+        )
     max_nodes = max(2 * n_tris - 1, 1)
     aabb_min = np.full((max_nodes, 3), _INF, np.float32)
     aabb_max = np.full((max_nodes, 3), -_INF, np.float32)

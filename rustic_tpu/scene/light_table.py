@@ -105,24 +105,30 @@ def build_light_table(
         return _sentinel()
 
     n_bins = len(order)
-    avg = probs[order].sum() / n_bins
-    prob_a = probs[order].copy()
     index_a = order.copy()
-    index_b = np.zeros(n_bins, np.int64)
-    prob_b = np.zeros(n_bins)
+    index_b = index_a.copy()  # self-alias for never-donated bins
 
-    # Robin hood: top up each underfull bin from the most probable one
-    # (reference: src/light_pick.rs:90-105).
-    most_probable = n_bins - 1
-    for i in range(n_bins):
-        needed = avg - prob_a[i]
-        if needed <= 0.0:
-            break
-        index_b[i] = index_a[most_probable]
-        prob_b[i] = needed
-        prob_a[most_probable] -= needed
-        if prob_a[most_probable] <= avg:
-            most_probable -= 1
+    # Full alias construction (Vose). The reference's "robin hood" loop
+    # (src/light_pick.rs:90-105) stops at the first non-needy bin, so
+    # its effective pick distribution diverges from the stored per-
+    # triangle pdfs whenever light powers are unequal (e.g. powers
+    # [.05,.05,.3,.6] pick as [.05,.05,.25,.65] while contributions
+    # divide by the stored pdf — biased NEE). Deliberate deviation: the
+    # exact method, same entry layout, same O(1) device sampler; the
+    # effective distribution now equals the stored pdfs by construction
+    # (pinned by tests/test_light_table.py::test_unequal_powers_unbiased).
+    q = probs[order] / probs[order].sum() * n_bins
+    ratio = np.ones(n_bins)
+    small = [i for i in range(n_bins) if q[i] < 1.0]
+    large = [i for i in range(n_bins) if q[i] >= 1.0]
+    while small and large:
+        s = small.pop()
+        l = large.pop()
+        ratio[s] = q[s]
+        index_b[s] = index_a[l]
+        q[l] -= 1.0 - q[s]
+        (small if q[l] < 1.0 else large).append(l)
+    # float residue: leftover bins keep ratio 1 (never pick b)
 
     return LightTable(
         idx_a=index_a.astype(np.int32),
@@ -131,5 +137,5 @@ def build_light_table(
         idx_b=index_b.astype(np.int32),
         area_b=areas[index_b].astype(np.float32),
         pdf_b=probs[index_b].astype(np.float32),
-        ratio=(prob_a / np.maximum(prob_a + prob_b, 1e-30)).astype(np.float32),
+        ratio=ratio.astype(np.float32),
     )

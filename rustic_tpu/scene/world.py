@@ -71,18 +71,29 @@ def slim_attr_table(attrs: "np.ndarray") -> "np.ndarray":
 
 def expand_slim_attrs(slim: jnp.ndarray) -> jnp.ndarray:
     """[B, SLIM_WIDTH] -> the full logical [B, ATTR_WIDTH] row. A pure
-    column shuffle with zero fill — XLA fuses it into the consumers, so
-    only the slim row ever crosses an executable boundary."""
+    column shuffle — XLA fuses it into the consumers, so only the slim
+    row ever crosses an executable boundary. The scalar rough/metal
+    broadcast across their four columns exactly as in the full table
+    (slim rows exist only for untextured scenes); albedo alpha is
+    reconstructed as 1 (no consumer reads it, and a rare base_color
+    alpha != 1 would be the one inexact column); TAN/UV/NORMTEX/HASTEX
+    genuinely are all-zero untextured."""
     b = slim.shape[0]
     z = lambda n: jnp.zeros((b, n), slim.dtype)
+    # alpha = 1 on real rows only: unit vertex normals make the NRM
+    # block nonzero for every real triangle, all-zero for padding rows,
+    # which must stay bit-inert (test_attr_split_is_bit_exact).
+    one = jnp.any(slim[:, 9:18] != 0, axis=1, keepdims=True).astype(slim.dtype)
+    rough = slim[:, SLIM_ROUGH : SLIM_ROUGH + 1]
+    metal = slim[:, SLIM_METAL : SLIM_METAL + 1]
     return jnp.concatenate(
         [
             slim[:, 0:18],  # POS + NRM
             z(15),  # TAN + UV
             slim[:, SLIM_EMISSIVE],
-            slim[:, SLIM_ALBEDO], z(1),
-            slim[:, SLIM_ROUGH : SLIM_ROUGH + 1], z(3),
-            slim[:, SLIM_METAL : SLIM_METAL + 1], z(3),
+            slim[:, SLIM_ALBEDO], one,  # albedo alpha = 1
+            jnp.tile(rough, (1, 4)),
+            jnp.tile(metal, (1, 4)),
             z(8),  # NORMTEX + HASTEX
             slim[:, SLIM_TRANSMISSION : SLIM_IOR + 1],
             z(ATTR_WIDTH - 58),
@@ -454,6 +465,11 @@ class World:
                 gi = idx_g.astype(np.int64)
                 svi = vi[gi]
                 verts = self.positions[svi].reshape(n_e, 9)
+                # UNNORMALIZED mean of vertex normals — deliberate parity
+                # with the reference's light normal (kernels/src/
+                # light_pick.rs:129, "(na+nb+nc)/3, lights can use flat
+                # shading"); |n| < 1 on curved emitters skews the
+                # area->solid-angle pdf exactly as it does there.
                 nrm = self.normals[svi].mean(axis=1)
                 emis = self.mat_emissive[mi[gi]]
                 if side == "A":

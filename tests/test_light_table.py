@@ -80,3 +80,42 @@ def test_single_light():
     assert not t.is_sentinel
     np.testing.assert_allclose(t.pdf_a, [1.0])
     np.testing.assert_allclose(t.ratio, [1.0])
+
+
+def test_unequal_powers_unbiased():
+    """The effective pick distribution through the alias table must
+    equal the stored pdfs exactly — the adversarial case for the
+    reference's early-break construction (its effective distribution
+    diverges for unequal powers, e.g. [.05,.05,.3,.6] picks as
+    [.05,.05,.25,.65] while contributions divide by the stored pdf)."""
+    # Four unit-ish triangles, powers 0.05/0.05/0.3/0.6 via emissive.
+    base = np.array([[0, 0, 0], [1, 0, 0], [0, 2, 0]], np.float64)
+    verts = np.concatenate([base + [3 * k, 0, 0] for k in range(4)])
+    tris = np.array(
+        [[3 * k, 3 * k + 1, 3 * k + 2, k] for k in range(4)], np.int64
+    )
+    emissive = np.array(
+        [[0.05, 0, 0], [0.05, 0, 0], [0.3, 0, 0], [0.6, 0, 0]], np.float32
+    )
+    mask = compute_emissive_mask(tris, emissive)
+    t = build_light_table(verts, tris, mask, emissive)
+    assert not t.is_sentinel
+
+    n_bins = len(t.ratio)
+    effective = {}
+    for i in range(n_bins):
+        effective[int(t.idx_a[i])] = (
+            effective.get(int(t.idx_a[i]), 0.0) + float(t.ratio[i]) / n_bins
+        )
+        effective[int(t.idx_b[i])] = (
+            effective.get(int(t.idx_b[i]), 0.0)
+            + (1.0 - float(t.ratio[i])) / n_bins
+        )
+    target = {0: 0.05, 1: 0.05, 2: 0.3, 3: 0.6}
+    for tri, p in target.items():
+        assert abs(effective.get(tri, 0.0) - p) < 1e-6, (tri, effective)
+        # the stored pdf (what contributions divide by) matches too
+        stored = [
+            float(t.pdf_a[i]) for i in range(n_bins) if int(t.idx_a[i]) == tri
+        ]
+        assert stored and abs(stored[0] - p) < 1e-6

@@ -105,14 +105,13 @@ def test_attr_split_is_bit_exact(cornell_world):
         rebuilt, slim_attr_table(np.asarray(scene.tri_attrs))
     )
     # Expansion restores every column the untextured shading path can
-    # consume; the dropped columns (tangents, uvs, atlas rects, flags —
-    # only read under scene.has_textures, plus the unread vec4 tails of
-    # the color/factor slots) come back as zeros.
+    # consume — including the rough/metal vec4 broadcast and albedo
+    # alpha=1, exactly as the full table stores them. The dropped
+    # columns (tangents, uvs, atlas rects, flags — only read under
+    # scene.has_textures) come back as zeros, which is also their full-
+    # table value for an untextured scene.
     expect = np.asarray(scene.tri_attrs).copy()
     expect[:, 18:33] = 0.0  # TAN + UV
-    expect[:, 39] = 0.0  # albedo vec4 tail
-    expect[:, 41:44] = 0.0  # rough vec4 tail
-    expect[:, 45:48] = 0.0  # metal vec4 tail
     expect[:, 48:56] = 0.0  # NORMTEX + HASTEX
     np.testing.assert_array_equal(
         np.asarray(expand_slim_attrs(jnp.asarray(rebuilt))), expect

@@ -68,3 +68,42 @@ def test_atlas_multiple_textures_disjoint():
             sample_atlas(jnp.asarray(atlas), jnp.asarray(uvst), jnp.asarray([[0.5, 0.5]]))
         )
         np.testing.assert_allclose(mid[0, 0], v, atol=2e-2)
+
+
+def test_atlas_taps_stay_in_cell():
+    """Bilinear taps at uv=1.0 must NOT blend the neighboring cell's
+    texels (the reference bleeds there — quadtree cells have no gutter)."""
+    import jax.numpy as jnp
+
+    from rustic_tpu.ops.texture import sample_atlas
+
+    # 8x8 atlas: left half red cell, right half green cell.
+    atlas = np.zeros((8, 8, 4), np.float32)
+    atlas[:, :4, 0] = 1.0
+    atlas[:, 4:, 1] = 1.0
+    uvst = jnp.asarray([[0.0, 0.0, 0.5, 1.0]], jnp.float32)  # left cell
+    for u in (0.999, 1.0):
+        uv = jnp.asarray([[u, 0.5]], jnp.float32)
+        c = np.asarray(sample_atlas(jnp.asarray(atlas), uvst, uv))[0]
+        assert c[0] == 1.0 and c[1] == 0.0, (u, c)
+
+
+def test_equirect_seam_interpolates():
+    """The azimuth wrap must blend the first and last panorama columns
+    instead of clamping (no vertical seam line)."""
+    import jax.numpy as jnp
+
+    from rustic_tpu.ops.texture import sample_bilinear
+
+    img = np.zeros((4, 8, 3), np.float32)
+    img[:, 0] = [1.0, 0.0, 0.0]
+    img[:, -1] = [0.0, 1.0, 0.0]
+    # u just below 1: taps must be columns 7 and 0 (wrapped), blending
+    u = (7.5 / 8.0) + (0.25 / 8.0)  # quarter way from col 7 to col 0
+    c = np.asarray(
+        sample_bilinear(
+            jnp.asarray(img), jnp.asarray([[u, 0.5]], jnp.float32), wrap_x=True
+        )
+    )[0]
+    assert c[1] > 0.0 and c[0] > 0.0  # both seam columns contribute
+    np.testing.assert_allclose(c[0] + c[1], 1.0, atol=1e-6)
