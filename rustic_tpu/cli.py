@@ -135,13 +135,15 @@ def _make_config(args) -> TracingConfig:
 
 
 def cmd_render(args) -> int:
-    from rustic_tpu.scene.world import load_scene
+    from rustic_tpu.scene.world import World, load_skybox_image
     from rustic_tpu.utils.image_io import save_hdr, save_png
 
     if getattr(args, "dot", "auto") != "auto":
         os.environ["RUSTIC_FLASH_DOT"] = args.dot
     t0 = time.time()
-    scene = load_scene(args.scene, args.skybox)
+    world = World.from_path(args.scene)
+    sky = load_skybox_image(args.skybox) if args.skybox else None
+    scene = world.to_device(sky)
     config = _make_config(args)
     settings = RenderSettings(
         samples=args.spp,
@@ -157,7 +159,9 @@ def cmd_render(args) -> int:
     if args.interactive:
         from rustic_tpu.runtime.viewer import Viewer
 
-        Viewer(scene, config, settings).run()
+        # the host-side World + skybox let the viewer switch
+        # scenes/skyboxes at runtime (drag-drop / 'o' / 'u')
+        Viewer(scene, config, settings, world=world, skybox=sky).run()
         return 0
     if args.progressive or args.checkpoint:
         from rustic_tpu.runtime.state import Checkpoint, TracingState

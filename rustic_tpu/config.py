@@ -161,3 +161,8 @@ class RenderSettings:
     # reference's CPU/GPU dropdown analog); one-shot render_image takes
     # it as an explicit argument instead.
     engine: str = "auto"
+    # Compute placement: "auto" = the default JAX backend (TPU when
+    # present); "cpu" = force the host backend — the reference's live
+    # GPU<->CPU switch (src/app.rs:324-346) with accumulation preserved
+    # across the toggle (src/trace.rs:162-164 restore semantics).
+    backend: str = "auto"

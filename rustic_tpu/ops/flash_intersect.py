@@ -144,6 +144,14 @@ def resolve_precision(precision: str, interpret: bool) -> str:
         return precision
     if interpret:
         return "f32"
+    # NOT mixed2 by default: it measured +6% (8.24 -> 8.75 Mpaths/s,
+    # 2026-08-19) but its margin-expanded u/v window admits edge hits
+    # the exact window rejects, and the barycentric clamp then *shades*
+    # them — measured +0.30-0.33% film energy on DarkCornell vs f32,
+    # flat in spp (a systematic bias, not noise; light-edge admits add
+    # emission). "mixed" keeps the nearest window exact-f32 and spends
+    # bf16x3 only on shadow any-hit, whose flips are unbiased
+    # visibility noise.
     return os.environ.get("RUSTIC_FLASH_DOT", "mixed")
 
 
@@ -1011,8 +1019,15 @@ RESIDENT_VMEM_BUDGET = 8 * 1024 * 1024
 def use_resident(precision: str, tri_feats16, role: str = "near") -> bool:
     """Static choice (made OUTSIDE jit so env changes take effect per
     call): resident mode when the scene is multi-tile, the unroll stays
-    compile-friendly, and every G operand fits the VMEM budget."""
-    if os.environ.get("RUSTIC_RESIDENT", "1") != "1":
+    compile-friendly, and every G operand fits the VMEM budget.
+
+    Off by default since the 2026-08-19 roundup: resident measured a
+    25% LOSS on FurnaceTest (1.21 -> 0.91 Mpaths/s warm) and a tie
+    within tunnel noise on PBRTest/VeachMIS/BreakTime — the per-grid
+    -step overhead it removes is no longer the multi-tile bottleneck
+    (the sorted driver's permutes are). Opt back in per run with
+    RUSTIC_RESIDENT=1."""
+    if os.environ.get("RUSTIC_RESIDENT", "0") != "1":
         return False
     # "merged" = the nearest+shadow kernels, which take the full plan
     plan = _DotPlan(precision) if role == "merged" else _plan_for(precision, role)

@@ -103,6 +103,66 @@ def assemble_film(film_local: np.ndarray) -> np.ndarray:
     ).reshape(-1, *np.asarray(film_local).shape[1:])
 
 
+def make_px_mesh(devices=None) -> Mesh:
+    """A 1-axis ('px',) mesh over all devices — the layout of the
+    staged fast path's multi-chip mode (pure pixel data parallelism;
+    scene replicated, zero per-bounce collectives)."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), axis_names=("px",))
+
+
+def render_sharded_staged(
+    scene,
+    config: TracingConfig,
+    settings: Optional[RenderSettings] = None,
+    mesh: Optional[Mesh] = None,
+) -> np.ndarray:
+    """Multi-chip render through the STAGED fast path: every stage and
+    flash kernel runs shard_mapped over the mesh's 'px' axis, so each
+    device executes its own staged bounce chain on its pixel shard —
+    the same executables the single-chip TPU path measures, not the
+    single-program slow path. Paths are independent (SURVEY §2: the
+    reference kernel has no inter-thread communication,
+    kernels/src/lib.rs:209-226), so the only cross-device ops are the
+    input shard and the final gather. Returns the mean film [H, W, 3].
+    """
+    from jax.sharding import NamedSharding
+
+    from rustic_tpu.runtime.pipeline import render_batch_staged
+
+    settings = settings or RenderSettings()
+    mesh = mesh or make_px_mesh()
+    n_dev = mesh.shape["px"]
+
+    w, h = config.width, config.height
+    n_px = w * h
+    pad = (-n_px) % n_dev
+    y, x = np.mgrid[0:h, 0:w]
+    px = np.pad(x.reshape(-1).astype(np.int32), (0, pad))
+    py = np.pad(y.reshape(-1).astype(np.int32), (0, pad))
+    offsets = np.pad(
+        pixel_offsets(w, h, settings.use_blue_noise), (0, pad)
+    )
+
+    lane = NamedSharding(mesh, P("px"))
+    repl = NamedSharding(mesh, P())
+    scene_r = jax.device_put(scene, repl)
+    film = render_batch_staged(
+        scene_r,
+        config.static_part(),
+        jax.device_put(config.dynamic_part(), repl),
+        jax.device_put(jnp.asarray(px), lane),
+        jax.device_put(jnp.asarray(py), lane),
+        jax.device_put(jnp.asarray(offsets), lane),
+        0,
+        settings.samples,
+        film_in=jax.device_put(jnp.zeros((len(px), 3), jnp.float32), lane),
+        mesh=mesh,
+    )
+    film = assemble_film(film)[:n_px] / max(settings.samples, 1)
+    return film.reshape(h, w, 3)
+
+
 def render_sharded(
     scene,
     config: TracingConfig,

@@ -32,6 +32,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from jax.sharding import PartitionSpec as _P
+
 from rustic_tpu.config import StaticConfig
 from rustic_tpu.ops import trace as trace_mod
 from rustic_tpu.ops.flash_intersect import (
@@ -222,9 +224,58 @@ def _sentinel_feats(feats, dead):
     return jnp.where(dead[:, None], row, feats)
 
 
+def _jit_stage(fn, donate, mesh, in_specs, out_specs):
+    """jit a stage function, shard_mapping it over `mesh` first when one
+    is given (multi-chip mode: every per-lane array data-parallel over
+    the 'px' axis, scene/config operands replicated — paths are
+    independent, so no stage needs a collective)."""
+    if mesh is not None:
+        fn = jax.shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    return jax.jit(fn, donate_argnums=donate)
+
+
+class _Kernels:
+    """Driver-level flash-kernel entry points, optionally shard_mapped
+    over a mesh: lane operands (ray/shadow feature rows) shard over
+    'px'; the triangle tables / tile AABBs / attr split replicate. Each
+    device then runs the identical Mosaic kernel on its lane shard —
+    the multi-chip story for the staged fast path."""
+
+    def __init__(self, bt, interpret, prec, mesh=None):
+        kw = dict(bt=bt, interpret=interpret, precision=prec)
+        self.nearest = functools.partial(flash_nearest, **kw)
+        self.nearest_attrs = functools.partial(flash_nearest_attrs, **kw)
+        self.nearest_shadow = functools.partial(flash_nearest_shadow, **kw)
+        self.nearest_shadow_attrs = functools.partial(
+            flash_nearest_shadow_attrs, **kw
+        )
+        self.occlude_packed = functools.partial(flash_occlude_packed, **kw)
+        if mesh is None:
+            return
+        S, R = _P("px"), _P()
+
+        def sm(fn, n_lane, n_scene, n_out):
+            out = (S,) * n_out if n_out > 1 else S
+            return jax.jit(
+                jax.shard_map(
+                    fn, mesh=mesh, in_specs=(S,) * n_lane + (R,) * n_scene,
+                    out_specs=out, check_vma=False,
+                )
+            )
+
+        self.nearest = sm(self.nearest, 1, 2, 4)
+        self.nearest_attrs = sm(self.nearest_attrs, 1, 3, 6)
+        self.nearest_shadow = sm(self.nearest_shadow, 2, 2, 5)
+        self.nearest_shadow_attrs = sm(self.nearest_shadow_attrs, 2, 3, 7)
+        self.occlude_packed = sm(self.occlude_packed, 1, 2, 1)
+
+
 @functools.lru_cache(maxsize=16)
 def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1,
-            edge_margin: float = 0.0):
+            edge_margin: float = 0.0, mesh=None):
     """Compile the per-bounce XLA stages (cached per static config).
 
     Each bounce is ONE XLA program: it folds the previous bounce's
@@ -237,9 +288,14 @@ def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1,
     dispatch serves `fold` samples — amortizing the per-dispatch
     runtime overhead that dominates single-tile scenes. `finish` sums
     the per-sample slabs back into the [B]-pixel film.
-    """
 
-    @jax.jit
+    `mesh` shard_maps every stage over its 'px' axis (lane arrays
+    data-parallel, scene replicated); fold must be 1 there — tiled
+    fold copies would straddle shard boundaries.
+    """
+    assert mesh is None or fold == 1, "sample folding is single-device"
+    S, R = _P("px"), _P()
+
     def init(cam, px, py, sample_idx, offsets):
         sidx = _fold_sample_idx(sample_idx, px.shape[0], fold)
         st = trace_mod.init_state(cfg, cam, px, py, sidx, offsets)
@@ -252,6 +308,11 @@ def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1,
         # the miss-time ray bit-exactly.
         return st._replace(ro=None, rd=None), feats, sidx
 
+    # In mesh mode sidx is the replicated scalar sample index (fold=1).
+    init = _jit_stage(
+        init, (), mesh, in_specs=(R, S, S, R, S), out_specs=(S, S, R)
+    )
+
     def make_pre(bounce: int, last: bool):
         # Donate the per-bounce state and the kernel outputs: every one
         # is consumed exactly once here, so XLA can update in place
@@ -259,9 +320,6 @@ def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1,
         # LDS draws are recomputed per stage from (sidx, offsets)
         # instead of carrying the [B, 8*max_bounces] block (see
         # trace.bounce_draws).
-        @functools.partial(
-            jax.jit, donate_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
-        )
         def pre(scene, cam, st, feats, prev_nee, prev_occ, t, idx, attrs,
                 t2, idx2, attrs2, sidx, offsets):
             st = st._replace(ro=feats[:, 6:9], rd=feats[:, 0:3])
@@ -318,14 +376,21 @@ def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1,
             slim = (nee_pack.eligible, nee_pack.contribution)
             return st2, next_feats, (slim, _shadow_feats16(nee_pack))
 
-        return pre
+        return _jit_stage(
+            pre, (2, 3, 4, 5, 6, 7, 8, 9, 10, 11), mesh,
+            in_specs=(R, R, S, S, S, S, S, S, S, S, S, S, R, S),
+            out_specs=(S, S, S),
+        )
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
     def finish(radiance, prev_nee, prev_occ, film):
         radiance = _fold_slim_nee(radiance, prev_nee, prev_occ)
         if fold > 1:
             radiance = radiance.reshape(fold, film.shape[0], 3).sum(axis=0)
         return film + radiance
+
+    finish = _jit_stage(
+        finish, (0, 1, 2, 3), mesh, in_specs=(S, S, S, S), out_specs=S
+    )
 
     pres = [
         make_pre(b, b == cfg.max_bounces - 1) for b in range(cfg.max_bounces)
@@ -336,7 +401,7 @@ def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1,
 @functools.lru_cache(maxsize=32)
 def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False,
                    fold: int = 1, schedule: Optional[tuple] = None,
-                   edge_margin: float = 0.0):
+                   edge_margin: float = 0.0, mesh=None):
     """Variant of _stages that re-sorts paths by origin locality after
     every shade, so ray blocks stay coherent and the flash kernels' tile
     culling prunes on secondary bounces too. The film sum becomes a
@@ -362,9 +427,16 @@ def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False,
 
     With a schedule, each pre additionally threads (film, oflow);
     without one, each non-final pre returns its keep count so the
-    pilot probe can measure a schedule."""
+    pilot probe can measure a schedule.
 
-    @jax.jit
+    With a `mesh`, every stage is shard_mapped over 'px' (fold=1, no
+    schedule — each shard sorts and renders its own lane set; the only
+    cross-device op is the psum of the pilot keep count)."""
+    assert mesh is None or (fold == 1 and schedule is None), (
+        "mesh mode: fold=1, compaction schedule handled per-device"
+    )
+    S, R = _P("px"), _P()
+
     def init(cam, px, py, sample_idx, offsets):
         lanes = px.shape[0]
         sidx = jnp.broadcast_to(
@@ -373,6 +445,10 @@ def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False,
         st = trace_mod.init_state(cfg, cam, px, py, sidx, offsets)
         lane2px = jnp.arange(lanes, dtype=jnp.int32) % (lanes // fold)
         return st, _ray_features16(st.ro, st.rd), sidx, lane2px
+
+    init = _jit_stage(
+        init, (), mesh, in_specs=(R, S, S, R, S), out_specs=(S, S, S, S)
+    )
 
     def make_pre(bounce: int, last: bool):
         k_out = None if (last or schedule is None) else schedule[bounce]
@@ -385,7 +461,6 @@ def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False,
         if bounce > 0:
             donate = donate + (10,)
 
-        @functools.partial(jax.jit, donate_argnums=donate)
         def pre(scene, cam, st, prev_nee, prev_occ, t, idx, t2, idx2,
                 sidx, offsets, lane2px, film=None, oflow=None):
             if prev_nee is not None:
@@ -477,6 +552,8 @@ def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False,
                     head(sidx), head(offsets), head(lane2px)
                 )
             n_keep = jnp.sum(keep.astype(jnp.int32))
+            if mesh is not None:  # global keep count for the pilot
+                n_keep = jax.lax.psum(n_keep, "px")
             nee_out = None if slim is None else (slim, shadow_feats)
             if schedule is not None:
                 return (
@@ -487,12 +564,23 @@ def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False,
                 st2, next_feats, nee_out, sidx, offsets, lane2px, n_keep,
             )
 
-        return pre
+        out_specs = (
+            (S, S, S, S, S, S) if last else (S, S, S, S, S, S, R)
+        )
+        return _jit_stage(
+            pre, donate, mesh,
+            in_specs=(R, R, S, S, S, S, S, S, S, S, S, S, S, R),
+            out_specs=out_specs,
+        )
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
     def finish(radiance, prev_nee, prev_occ, film, lane2px):
         radiance = _fold_slim_nee(radiance, prev_nee, prev_occ)
         return film.at[lane2px].add(radiance)
+
+    finish = _jit_stage(
+        finish, (0, 1, 2, 3, 4), mesh, in_specs=(S, S, S, S, S),
+        out_specs=S,
+    )
 
     pres = [
         make_pre(b, b == cfg.max_bounces - 1) for b in range(cfg.max_bounces)
@@ -607,11 +695,17 @@ def render_batch_staged(
     sample_start: int,
     n_samples: int,
     film_in: Optional[jnp.ndarray] = None,
+    mesh=None,
 ) -> jnp.ndarray:
     """Render n_samples for one pixel batch through the staged pipeline.
 
     All dispatches are queued asynchronously; the returned film-sum array
-    is on device (callers np.asarray() it to sync)."""
+    is on device (callers np.asarray() it to sync).
+
+    `mesh` (a jax.sharding.Mesh with a 'px' axis) runs every stage and
+    kernel shard_mapped: lane arrays data-parallel over 'px', scene
+    replicated — the multi-chip mode of the fast path (parallel/shard.py
+    render_sharded prepares the sharded operands)."""
     g16 = scene.tri_feats16
     film = (
         film_in
@@ -621,13 +715,14 @@ def render_batch_staged(
     interpret = jax.default_backend() != "tpu"
     prec = resolve_precision("auto", interpret)
     bt = pick_bt(g16)
+    K = _Kernels(bt, interpret, prec, mesh)
     multi_tile = bt != DEF_BT  # pick_bt returns DEF_BT iff single-tile
     if _SORT_PATHS and multi_tile:
         return _render_batch_sorted(
             scene, cfg, cam, px, py, offsets, sample_start, n_samples,
-            film, bt, interpret, prec,
+            film, bt, interpret, prec, mesh=mesh,
         )
-    fold = pick_sample_fold(px.shape[0], n_samples)
+    fold = 1 if mesh is not None else pick_sample_fold(px.shape[0], n_samples)
     tiled = _tile_inputs((px, py, offsets), fold)
     # Single-tile scenes with a bit-exact attr split get the winner's
     # shading row straight from the kernel (no consumer gather). Guarded
@@ -643,15 +738,13 @@ def render_batch_staged(
     for k in range(0, n_samples, fold):
         g = min(fold, n_samples - k)
         init, pres, finish = _stages(
-            cfg, fold=g, edge_margin=near_edge_margin(prec)
+            cfg, fold=g, edge_margin=near_edge_margin(prec), mesh=mesh
         )
         pxg, pyg, offg = (
             tiled if g == fold else _tile_inputs((px, py, offsets), g)
         )
         if held is not None and held[2].shape[0] != pxg.shape[0]:
-            film = _flush_held(
-                held, film, g16, scene, bt, interpret, prec
-            )
+            film = _flush_held(held, film, g16, scene, K)
             held = None
         sample_idx = jnp.uint32(sample_start + k)
         st, feats, sidx = init(cam, pxg, pyg, sample_idx, offg)
@@ -662,15 +755,11 @@ def render_batch_staged(
             attrs = attrs2 = t2 = i2 = None
             if pending_shadow is None:
                 if kattrs is not None:
-                    t, idx, attrs, t2, i2, attrs2 = flash_nearest_attrs(
-                        feats, g16, scene.tile_aabbs, kattrs, bt=bt,
-                        interpret=interpret, precision=prec,
+                    t, idx, attrs, t2, i2, attrs2 = K.nearest_attrs(
+                        feats, g16, scene.tile_aabbs, kattrs
                     )
                 else:
-                    t, idx, t2, i2 = flash_nearest(
-                        feats, g16, scene.tile_aabbs, bt=bt,
-                        interpret=interpret, precision=prec,
-                    )
+                    t, idx, t2, i2 = K.nearest(feats, g16, scene.tile_aabbs)
                 prev_occ = None
             else:
                 # The previous bounce's shadow scan piggybacks on this
@@ -679,16 +768,14 @@ def render_batch_staged(
                 # and the per-tile VMEM loads.
                 if kattrs is not None:
                     t, idx, prev_occ, attrs, t2, i2, attrs2 = (
-                        flash_nearest_shadow_attrs(
+                        K.nearest_shadow_attrs(
                             feats, pending_shadow, g16, scene.tile_aabbs,
-                            kattrs, bt=bt, interpret=interpret,
-                            precision=prec,
+                            kattrs,
                         )
                     )
                 else:
-                    t, idx, prev_occ, t2, i2 = flash_nearest_shadow(
-                        feats, pending_shadow, g16, scene.tile_aabbs,
-                        bt=bt, interpret=interpret, precision=prec,
+                    t, idx, prev_occ, t2, i2 = K.nearest_shadow(
+                        feats, pending_shadow, g16, scene.tile_aabbs
                     )
             if bounce == 0 and held is not None:
                 # the occlusion result belongs to the HELD group
@@ -709,20 +796,16 @@ def render_batch_staged(
             film = finish(st, prev_nee, None, film)
         _throttle(film, k // fold)
     if held is not None:
-        film = _flush_held(held, film, g16, scene, bt, interpret, prec)
+        film = _flush_held(held, film, g16, scene, K)
     return film
 
 
-def _flush_held(held, film, g16, scene, bt, interpret, prec):
+def _flush_held(held, film, g16, scene, K):
     """Resolve a held group's final shadow scan with the standalone
     occlusion kernel and fold its film contribution."""
     rad, prev_nee, pending_shadow, finish = held
     final_occ = (
-        flash_occlude_packed(
-            pending_shadow, g16, scene.tile_aabbs,
-            bt=bt, interpret=interpret, precision=prec,
-        )
-        != 0
+        K.occlude_packed(pending_shadow, g16, scene.tile_aabbs) != 0
     )
     return finish(rad, prev_nee, final_occ, film)
 
@@ -751,6 +834,46 @@ def _quantize_schedule(counts, lanes: int, bt: int, measured: int = None):
     if min(ks) > lanes // 2:
         return None
     return tuple(ks)
+
+
+# (schedule, camera-signature) per (scene table id, cfg, lanes, bt,
+# prec): the pilot probe costs a host sync + a ~10-executable dispatch
+# chain (~0.3 s measured over the tunnel), which dominated small and
+# interactive renders when it ran per call. Keep counts depend on the
+# camera, so a cached schedule is reused only while the camera matches;
+# a stale/wrong schedule is never a correctness risk (the overflow flag
+# re-renders the window uncompacted), only a perf blip.
+_PILOT_CACHE: dict = {}
+
+
+def _cached_pilot_schedule(
+    scene, cfg, cam, px, py, offsets, sample_start, lanes, bt, interpret,
+    prec,
+):
+    # keyed on the pilot fn identity too, so tests that monkeypatch
+    # _pilot_schedule never hit entries produced by a different pilot
+    key = (id(scene.tri_feats16), cfg, lanes, bt, prec, id(_pilot_schedule))
+    leaves = jax.tree_util.tree_leaves(cam)
+    sig = (
+        np.concatenate(
+            [np.ravel(np.asarray(leaf, np.float64)) for leaf in leaves]
+        )
+        if leaves
+        else np.zeros(0)
+    )
+    hit = _PILOT_CACHE.get(key)
+    if hit is not None and hit[1].shape == sig.shape and np.allclose(
+        hit[1], sig, atol=1e-6
+    ):
+        return hit[0]
+    sched = _pilot_schedule(
+        scene, cfg, cam, px, py, offsets, sample_start, lanes, bt,
+        interpret, prec,
+    )
+    if len(_PILOT_CACHE) > 64:
+        _PILOT_CACHE.clear()
+    _PILOT_CACHE[key] = (sched, sig)
+    return sched
 
 
 def _pilot_schedule(
@@ -804,7 +927,7 @@ def _pilot_schedule(
 
 def _render_batch_sorted(
     scene, cfg, cam, px, py, offsets, sample_start, n_samples, film,
-    bt, interpret, prec,
+    bt, interpret, prec, mesh=None,
 ):
     """Staged driver with per-bounce path re-sorting and compaction.
 
@@ -817,7 +940,11 @@ def _render_batch_sorted(
     is ~100 sigma of the binomial lane-count noise) are re-rendered
     uncompacted, so compaction can never bias the image."""
     g16 = scene.tri_feats16
-    fold = pick_sample_fold(px.shape[0], n_samples, sorted_path=True)
+    K = _Kernels(bt, interpret, prec, mesh)
+    fold = (
+        1 if mesh is not None
+        else pick_sample_fold(px.shape[0], n_samples, sorted_path=True)
+    )
     tiled = _tile_inputs((px, py, offsets), fold)
 
     def run_group(k, g, schedule, film_in, oflow):
@@ -825,7 +952,7 @@ def _render_batch_sorted(
         (+ oflow and per-bounce keep counts in the respective modes)."""
         init, pres, finish = _stages_sorted(
             cfg, fold=g, schedule=schedule,
-            edge_margin=near_edge_margin(prec),
+            edge_margin=near_edge_margin(prec), mesh=mesh,
         )
         pxg, pyg, offg = (
             tiled if g == fold else _tile_inputs((px, py, offsets), g)
@@ -836,15 +963,11 @@ def _render_batch_sorted(
         prev_nee = pending_shadow = None
         for bounce in range(cfg.max_bounces):
             if pending_shadow is None:
-                t, idx, t2, i2 = flash_nearest(
-                    feats, g16, scene.tile_aabbs, bt=bt, interpret=interpret,
-                    precision=prec,
-                )
+                t, idx, t2, i2 = K.nearest(feats, g16, scene.tile_aabbs)
                 prev_occ = None
             else:
-                t, idx, prev_occ, t2, i2 = flash_nearest_shadow(
-                    feats, pending_shadow, g16, scene.tile_aabbs,
-                    bt=bt, interpret=interpret, precision=prec,
+                t, idx, prev_occ, t2, i2 = K.nearest_shadow(
+                    feats, pending_shadow, g16, scene.tile_aabbs
                 )
             outs = pres[bounce](
                 scene, cam, st, prev_nee, prev_occ, t, idx, t2, i2,
@@ -866,17 +989,16 @@ def _render_batch_sorted(
         final_occ = None
         if pending_shadow is not None:
             final_occ = (
-                flash_occlude_packed(
-                    pending_shadow, g16, scene.tile_aabbs,
-                    bt=bt, interpret=interpret, precision=prec,
-                )
-                != 0
+                K.occlude_packed(pending_shadow, g16, scene.tile_aabbs) != 0
             )
         film_in = finish(st, prev_nee, final_occ, film_in, lane2px)
         return film_in, oflow
 
     lanes = px.shape[0] * fold
-    schedule = _pilot_schedule(
+    # Compaction schedules are single-device for now: the pilot measures
+    # global keep counts but the head slice would need a per-shard
+    # schedule under a mesh.
+    schedule = None if mesh is not None else _cached_pilot_schedule(
         scene, cfg, cam, px, py, offsets, sample_start, lanes, bt,
         interpret, prec,
     )

@@ -10,6 +10,7 @@ happens once per call.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import numpy as np
@@ -23,19 +24,39 @@ from rustic_tpu.ops.trace import accumulate_samples
 from rustic_tpu.scene.world import SceneArrays
 
 
+@functools.lru_cache(maxsize=1)
+def _bluenoise_table() -> Optional[np.ndarray]:
+    """The committed 128x128 void-and-cluster rank texture (u32 offsets;
+    tools/make_bluenoise.py). None if the asset is missing."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "assets", "bluenoise_128.npy",
+    )
+    try:
+        return np.load(path)
+    except OSError:
+        return None
+
+
 def pixel_offsets(
     width: int, height: int, use_blue_noise: bool = True
 ) -> np.ndarray:
     """Per-pixel LDS decorrelation offsets ([H*W] u32).
 
-    The reference seeds from a blue-noise texture or host RNG
-    (src/trace.rs:149-160). We generate offsets procedurally so renders
-    are reproducible: 'blue noise' mode uses interleaved gradient noise
-    (spatially well-distributed, no stored texture); uniform mode hashes
-    the pixel id.
+    The reference seeds each pixel's Cranley-Patterson offset from a
+    blue-noise texture or host RNG (src/trace.rs:149-160). Blue-noise
+    mode tiles a committed 128x128 void-and-cluster rank table
+    (tools/make_bluenoise.py — the analog of src/resources/bluenoise.png;
+    ranks x 2^32, exactly the reference's value scaling), falling back
+    to interleaved-gradient noise if the asset is absent; uniform mode
+    hashes the pixel id.
     """
     y, x = np.mgrid[0:height, 0:width]
     if use_blue_noise:
+        table = _bluenoise_table()
+        if table is not None:
+            n = table.shape[0]
+            return table[y % n, x % n].reshape(-1).copy()
         ign = np.mod(
             52.9829189 * np.mod(0.06711056 * x + 0.00583715 * y, 1.0), 1.0
         )
@@ -76,11 +97,18 @@ def render_pixels(
     sample_start: int = 0,
     engine: str = "auto",
     film_in: Optional[jnp.ndarray] = None,
+    backend: str = "auto",
 ) -> jnp.ndarray:
     """Render an arbitrary pixel set; returns the film *sum* [B, 3].
 
     Pixel subsets make cheap correctness probes possible (the furnace
     test checks one pixel — no need to render 128^2 on CI).
+
+    backend="cpu" forces the host backend even on a TPU host (the
+    reference's live GPU->CPU switch): inputs are committed to the CPU
+    device, so the same jitted program compiles and runs there. Pass a
+    CPU-resident scene (jax.device_put(scene, cpu)) to avoid a transfer
+    per call when stepping repeatedly.
     """
     cfg = config.static_part()
     cam = config.dynamic_part()
@@ -90,11 +118,27 @@ def render_pixels(
         offsets = pcg_hash_np(
             (py.astype(np.uint32) * np.uint32(config.width) + px.astype(np.uint32))
         )
+    if backend == "cpu" and jax.default_backend() != "cpu":
+        cpu0 = jax.devices("cpu")[0]
+        scene = jax.device_put(scene, cpu0)
+        film_in = jax.device_put(film_in, cpu0)
+        if engine in ("auto", "flash", "fused"):
+            # resolve like a CPU host would: the Mosaic kernels are
+            # TPU-only and _pick_engine keys on the *default* backend
+            from rustic_tpu.ops.intersect import BRUTE_FORCE_MAX_TRIS
+
+            engine = (
+                "brute" if scene.n_tris <= BRUTE_FORCE_MAX_TRIS else "bvh"
+            )
 
     from rustic_tpu.ops.intersect import _pick_engine
 
     resolved = _pick_engine(scene, engine)
-    if resolved in ("flash", "fused") and jax.default_backend() == "tpu":
+    if (
+        resolved in ("flash", "fused")
+        and jax.default_backend() == "tpu"
+        and backend != "cpu"
+    ):
         # TPU fast path: staged pipeline around the flash kernels (see
         # runtime/pipeline.py for why it is not one fused XLA program).
         # engine="fused" opts into the experimental mega-bounce kernel

@@ -105,6 +105,7 @@ class TracingState:
             sample_start=self.samples,
             engine=self.settings.engine,
             film_in=self._film_sum,
+            backend=self.settings.backend,
         )
         self.samples += n
         mean = np.asarray(self._film_sum) / max(self.samples, 1)

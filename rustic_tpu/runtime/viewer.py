@@ -7,10 +7,18 @@ interactive loop on top of matplotlib when a display is available:
 
 - progressive accumulation republished every sync_rate samples,
 - WASD + QE fly camera (shift = 10x, ctrl = 0.1x speed), arrow-key look
-  (reference: src/app.rs:439-492),
+  AND mouse-drag look (reference: src/app.rs:439-492 — the right-click
+  -drag camera),
 - sun controls j/l (azimuth), i/k (elevation), =/- (intensity) — the
   reference's environment GUI (src/app.rs:365-437),
 - keys for NEE mode (n), tonemap cycling (t), denoise (x), save (p),
+- runtime scene/skybox switching: drag-drop onto the window when the
+  backend supports it (TkAgg + tkinterdnd2), plus 'o' (open scene) and
+  'u' (load skybox) terminal prompts — the reference's drag-drop loader
+  + file pickers (src/app.rs:617-624, image detection :44-52),
+- 'c' toggles CPU<->TPU compute with the accumulated film preserved
+  (the reference's "Use CPU" switch + continue_previous restore,
+  src/app.rs:324-346, src/trace.rs:162-164),
 - camera moves mark the state dirty and restart accumulation, exactly
   like the reference's interacting/dirty flags (src/trace.rs:216-222).
 
@@ -20,6 +28,7 @@ Run: python -m rustic_tpu.cli render <scene.glb> --interactive
 from __future__ import annotations
 
 import math
+import os
 import time
 from typing import Optional
 
@@ -36,6 +45,10 @@ from rustic_tpu.runtime.state import TracingState
 
 _MOVE_SPEED = 0.3  # reference: src/app.rs speed with shift/ctrl modifiers
 _TURN_SPEED = 0.05
+_MOUSE_SENS = 0.005  # radians per pixel of drag
+
+# the reference detects dropped images by extension (src/app.rs:44-52)
+_IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".hdr", ".exr", ".tga", ".bmp")
 
 
 class Viewer:
@@ -44,14 +57,20 @@ class Viewer:
         scene,
         config: TracingConfig,
         settings: Optional[RenderSettings] = None,
+        world=None,
+        skybox: Optional[np.ndarray] = None,
     ):
         self.scene = scene
+        self.world = world  # host-side World, kept for runtime switching
+        self.skybox = skybox  # loaded skybox image (np array) or None
         self.settings = settings or RenderSettings(sync_rate=4)
         self.state = TracingState(
             config.width, config.height, config, self.settings
         )
         self.tonemap = self.settings.tonemap
         self._running = True
+        self._drag = None  # (x, y) of the last mouse-drag position
+        self._scene_cpu = None  # CPU-resident scene cache for 'c' toggle
 
     # -- camera (reference: src/app.rs:439-492) -----------------------------
 
@@ -135,7 +154,13 @@ class Viewer:
         if key in actions:
             actions[key]()
             return True
-        if key == "n":  # cycle NEE mode
+        if key == "o":  # open scene (reference's scene picker/drag-drop)
+            self._prompt_load("scene path (.glb/.gltf/.obj/.fbx/.stl/.ply): ")
+        elif key == "u":  # load skybox image
+            self._prompt_load("skybox image path (.hdr/.png/...): ")
+        elif key == "c":  # CPU<->TPU switch, film preserved
+            self.toggle_backend()
+        elif key == "n":  # cycle NEE mode
             cfg = self.state.config
             self.state.set_config(
                 nee=NextEventEstimation((int(cfg.nee) + 1) % 3)
@@ -155,6 +180,107 @@ class Viewer:
             return False
         return True
 
+    # -- runtime scene/skybox switching (reference: src/app.rs:617-624) ------
+
+    def _prompt_load(self, prompt: str):
+        """Terminal-prompt analog of the reference's file pickers; empty
+        input cancels."""
+        try:
+            path = input(prompt).strip().strip("'\"")
+        except (EOFError, OSError):
+            return
+        if path:
+            self.load_path(path)
+
+    def load_path(self, path: str) -> bool:
+        """Load a dropped/picked file: images become the skybox, any
+        mesh format becomes the new scene (reference drag-drop handler,
+        src/app.rs:617-624; image detection src/app.rs:44-52).
+        Accumulation restarts, camera/settings persist."""
+        path = path.strip().strip("'\"")
+        if not os.path.exists(path):
+            print(f"[viewer] no such file: {path}")
+            return False
+        try:
+            if path.lower().endswith(_IMAGE_EXTS) or path.lower().endswith(
+                ".npy"
+            ):
+                from rustic_tpu.scene.world import load_skybox_image
+
+                self.skybox = (
+                    np.load(path)
+                    if path.lower().endswith(".npy")
+                    else load_skybox_image(path)
+                )
+                if self.world is not None:
+                    self.scene = self.world.to_device(self.skybox)
+                self.state.set_config(has_skybox=True)
+            else:
+                from rustic_tpu.scene.world import World
+
+                self.world = World.from_path(path)
+                self.scene = self.world.to_device(self.skybox)
+                self.state.mark_dirty()
+        except Exception as e:  # keep the viewer alive on bad drops
+            print(f"[viewer] load failed: {e}")
+            return False
+        self._scene_cpu = None  # invalidate the CPU copy
+        if self.settings.backend == "cpu":
+            self._ensure_cpu_scene()
+        return True
+
+    # -- CPU<->TPU switch (reference: src/app.rs:324-346) --------------------
+
+    def _ensure_cpu_scene(self):
+        import jax
+
+        if self._scene_cpu is None:
+            self._scene_cpu = jax.device_put(
+                self.scene, jax.devices("cpu")[0]
+            )
+
+    def active_scene(self):
+        return (
+            self._scene_cpu if self.settings.backend == "cpu" else self.scene
+        )
+
+    def toggle_backend(self):
+        """Flip compute between the default backend and the CPU twin;
+        the accumulated film and sample count carry over (the
+        reference's continue_previous restore, src/trace.rs:162-164)."""
+        if self.settings.backend == "cpu":
+            self.settings.backend = "auto"
+        else:
+            self.settings.backend = "cpu"
+            self._ensure_cpu_scene()
+        # restore (not reset): sum = mean * samples survives the switch
+        self.state.restore(self.state.framebuffer, self.state.samples)
+
+    # -- mouse-drag look (reference: src/app.rs:439-492) ---------------------
+
+    def on_mouse_press(self, x: float, y: float):
+        self._drag = (x, y)
+        self.state.interacting = True
+
+    def on_mouse_move(self, x: float, y: float):
+        if self._drag is None:
+            return
+        dx, dy = x - self._drag[0], y - self._drag[1]
+        self._drag = (x, y)
+        cfg = self.state.config
+        # matplotlib y grows upward in figure coords; dragging right
+        # turns right, dragging up looks up (reference sign convention)
+        self.state.set_config(
+            cam_rotation=(
+                cfg.cam_rotation[0] + dy * _MOUSE_SENS,
+                cfg.cam_rotation[1] + dx * _MOUSE_SENS,
+            )
+        )
+
+    def on_mouse_release(self):
+        self._drag = None
+        self.state.interacting = False
+
     def display_frame(self) -> np.ndarray:
         import jax.numpy as jnp
 
@@ -163,8 +289,22 @@ class Viewer:
         )
 
     def step(self) -> np.ndarray:
-        self.state.step(self.scene)
+        self.state.step(self.active_scene())
         return self.display_frame()
+
+    def _try_enable_dnd(self, fig):
+        """Native drag-drop when available (TkAgg + the tkdnd extension);
+        the 'o'/'u' prompts remain the portable path."""
+        try:
+            widget = fig.canvas.get_tk_widget()
+            from tkinterdnd2 import DND_FILES  # optional dependency
+
+            widget.drop_target_register(DND_FILES)
+            widget.dnd_bind(
+                "<<Drop>>", lambda e: self.load_path(e.data.strip("{}"))
+            )
+        except Exception:
+            pass  # backend without DnD: keyboard prompts cover it
 
     # -- matplotlib event loop ----------------------------------------------
 
@@ -182,6 +322,18 @@ class Viewer:
                 plt.close(fig)
 
         fig.canvas.mpl_connect("key_press_event", on_key)
+        fig.canvas.mpl_connect(
+            "button_press_event",
+            lambda e: self.on_mouse_press(e.x, e.y),
+        )
+        fig.canvas.mpl_connect(
+            "motion_notify_event",
+            lambda e: self.on_mouse_move(e.x, e.y),
+        )
+        fig.canvas.mpl_connect(
+            "button_release_event", lambda e: self.on_mouse_release()
+        )
+        self._try_enable_dnd(fig)
         plt.ion()
         plt.show()
         t0 = time.time()

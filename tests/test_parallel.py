@@ -75,3 +75,61 @@ def test_assemble_film_single_process():
     film = np.arange(12, dtype=np.float32).reshape(4, 3)
     out = assemble_film(film)
     np.testing.assert_array_equal(out, film)
+
+
+def test_sharded_staged_matches_single_device(cornell_scene, cfg):
+    """The staged fast path shard_mapped over a ('px',) mesh must equal
+    the single-device staged render exactly: each stage is pure data
+    parallelism over lanes, so sharding cannot change any lane's math.
+    DarkCornell is single-tile -> exercises the unsorted driver + the
+    in-kernel attr path under shard_map."""
+    from rustic_tpu.parallel.shard import make_px_mesh, render_sharded_staged
+    from rustic_tpu.runtime import pipeline as P
+    from rustic_tpu.runtime.render import pixel_offsets
+
+    settings = RenderSettings(samples=3)
+    w, h = cfg.width, cfg.height
+    y, x = np.mgrid[0:h, 0:w]
+    px = jnp.asarray(x.reshape(-1), jnp.int32)
+    py = jnp.asarray(y.reshape(-1), jnp.int32)
+    offsets = jnp.asarray(pixel_offsets(w, h, settings.use_blue_noise))
+    single = np.asarray(
+        P.render_batch_staged(
+            cornell_scene, cfg.static_part(), cfg.dynamic_part(),
+            px, py, offsets, 0, settings.samples,
+        )
+    ).reshape(h, w, 3) / settings.samples
+
+    multi = render_sharded_staged(
+        cornell_scene, cfg, settings, mesh=make_px_mesh()
+    )
+    np.testing.assert_allclose(multi, single, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_staged_sorted_path(furnace_scene):
+    """Multi-tile scene -> the sorted staged driver under the mesh (per
+    -shard sorting; film scatter-add stays shard-local)."""
+    from rustic_tpu.parallel.shard import make_px_mesh, render_sharded_staged
+    from rustic_tpu.runtime import pipeline as P
+    from rustic_tpu.runtime.render import pixel_offsets
+
+    config = TracingConfig(
+        width=16, height=16, max_bounces=2, nee=NextEventEstimation.MIS
+    )
+    settings = RenderSettings(samples=2)
+    w, h = config.width, config.height
+    y, x = np.mgrid[0:h, 0:w]
+    px = jnp.asarray(x.reshape(-1), jnp.int32)
+    py = jnp.asarray(y.reshape(-1), jnp.int32)
+    offsets = jnp.asarray(pixel_offsets(w, h, settings.use_blue_noise))
+    single = np.asarray(
+        P.render_batch_staged(
+            furnace_scene, config.static_part(), config.dynamic_part(),
+            px, py, offsets, 0, settings.samples,
+        )
+    ).reshape(h, w, 3) / settings.samples
+
+    multi = render_sharded_staged(
+        furnace_scene, config, settings, mesh=make_px_mesh()
+    )
+    np.testing.assert_allclose(multi, single, rtol=1e-5, atol=1e-6)

@@ -56,3 +56,46 @@ def test_pcg_hash_spreads():
     h = rng.pcg_hash_np(np.arange(1 << 14, dtype=np.uint32))
     assert len(np.unique(h)) > (1 << 14) * 0.999
     assert abs(h.astype(np.float64).mean() / 2**32 - 0.5) < 0.01
+
+
+class TestBlueNoise:
+    """The committed void-and-cluster seed table (tools/make_bluenoise.py)
+    — the analog of the reference's bluenoise.png offsets
+    (src/trace.rs:149-160)."""
+
+    def test_table_is_permutation(self):
+        from rustic_tpu.runtime.render import _bluenoise_table
+
+        t = _bluenoise_table()
+        assert t is not None and t.shape == (128, 128)
+        assert t.dtype == np.uint32
+        # ranks/N * 2^32: all values distinct and uniformly spread
+        assert len(np.unique(t)) == t.size
+        u = np.sort(t.reshape(-1).astype(np.float64)) / 2**32
+        np.testing.assert_allclose(u, np.arange(t.size) / t.size, atol=1e-9)
+
+    def test_spectrum_is_blue(self):
+        """Low-frequency energy must be suppressed well below white
+        noise: that's the property that makes per-pixel seed offsets
+        turn sample error into high-frequency (visually uniform)
+        noise."""
+        from rustic_tpu.runtime.render import _bluenoise_table
+
+        t = _bluenoise_table().astype(np.float64) / 2**32 - 0.5
+        f = np.abs(np.fft.fft2(t)) ** 2
+        f[0, 0] = 0.0
+        n = t.shape[0]
+        fy = np.minimum(np.arange(n), n - np.arange(n))
+        r = np.hypot(fy[:, None], fy[None, :])
+        lo = f[(r > 0) & (r <= n / 16)].mean()
+        hi = f[r >= n / 4].mean()
+        assert lo < 0.2 * hi, (lo, hi)
+
+    def test_pixel_offsets_tile(self):
+        from rustic_tpu.runtime.render import _bluenoise_table, pixel_offsets
+
+        t = _bluenoise_table()
+        off = pixel_offsets(300, 200, use_blue_noise=True).reshape(200, 300)
+        assert off[0, 0] == t[0, 0]
+        assert off[5, 130] == t[5, 2]  # tiles with period 128
+        assert off[131, 7] == t[3, 7]

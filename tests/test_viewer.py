@@ -89,3 +89,75 @@ def test_sun_controls(cornell_scene):
     for _ in range(40):
         v.handle_key("-")
     assert v.state.config.sun_direction[3] >= 0.0
+
+
+def test_mouse_drag_look(cornell_scene):
+    """Mouse-drag camera look (reference: src/app.rs:439-492)."""
+    v = _viewer(cornell_scene)
+    rot0 = v.state.config.cam_rotation
+    v.on_mouse_press(100.0, 100.0)
+    assert v.state.interacting
+    v.on_mouse_move(120.0, 90.0)
+    pitch, yaw = v.state.config.cam_rotation
+    assert yaw > rot0[1]  # dragged right -> turned right
+    assert pitch < rot0[0]  # dragged up (y shrinks) -> looked up
+    v.on_mouse_release()
+    assert not v.state.interacting
+    # motion without a press is ignored
+    rot1 = v.state.config.cam_rotation
+    v.on_mouse_move(500.0, 500.0)
+    assert v.state.config.cam_rotation == rot1
+
+
+def test_load_path_switches_scene_and_skybox(cornell_world, tmp_path):
+    """Runtime scene/skybox switching — the reference's drag-drop
+    loader (src/app.rs:617-624) with its image-vs-scene detection
+    (src/app.rs:44-52)."""
+    import os
+
+    from conftest import scene_path
+
+    cfg = TracingConfig(width=8, height=8, max_bounces=2)
+    v = Viewer(
+        cornell_world.to_device(), cfg, RenderSettings(sync_rate=1),
+        world=cornell_world,
+    )
+    v.step()
+    old_scene = v.scene
+    assert v.load_path(scene_path("FurnaceTest.glb"))
+    assert v.scene is not old_scene
+    assert v.world.triangles.shape[0] != cornell_world.triangles.shape[0]
+    frame = v.step()
+    assert np.isfinite(frame).all() and v.state.samples == 1
+
+    # an image path becomes the skybox (here: a .npy HDR image)
+    sky = np.full((4, 8, 3), 0.25, np.float32)
+    p = tmp_path / "sky.npy"
+    np.save(p, sky)
+    scene_before = v.scene
+    assert v.load_path(str(p))
+    assert v.state.config.has_skybox
+    assert v.scene is not scene_before
+    assert np.isfinite(v.step()).all()
+
+    # bad paths are survivable
+    assert not v.load_path(str(tmp_path / "missing.glb"))
+
+
+def test_backend_toggle_preserves_film(cornell_scene):
+    """'c' flips compute CPU<->default with sum = mean * samples
+    preserved (reference: src/app.rs:324-346, src/trace.rs:162-164)."""
+    v = _viewer(cornell_scene)
+    v.step()
+    v.step()
+    frame = v.state.framebuffer.copy()
+    samples = v.state.samples
+    v.handle_key("c")
+    assert v.settings.backend == "cpu"
+    assert v.state.samples == samples
+    np.testing.assert_allclose(v.state.framebuffer, frame, rtol=1e-6)
+    f2 = v.step()  # renders on the CPU twin, film continues
+    assert v.state.samples == samples + 1
+    assert np.isfinite(f2).all()
+    v.handle_key("c")
+    assert v.settings.backend == "auto"
