@@ -81,7 +81,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     r.add_argument(
         "--engine",
-        choices=["auto", "brute", "bvh", "flash", "fused"],
+        choices=["auto", "brute", "bvh", "flash"],
         default="auto",
     )
     r.add_argument("--sync-rate", type=int, default=32)

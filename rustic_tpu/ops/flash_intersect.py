@@ -394,14 +394,6 @@ def _dot_split3(f_tile, g_hi, g_lo):
     )
 
 
-def _make_pair_dot(split: bool):
-    """(n_g_operands, dot) for a uniform-precision scan — kept for the
-    experimental fused bounce kernel (ops/fused_bounce.py)."""
-    if not split:
-        return 1, _dot_f32
-    return 2, _dot_split3
-
-
 # int bits of BIG (1e6f). Its low IDX_BITS are zero, so a floored
 # packed winner unpacks to exactly BIG when a tile has no valid hit.
 _BIG_BITS = 0x49742400

@@ -514,8 +514,6 @@ def occlude_flash(scene, ro, rd, max_t, interpret: bool = False) -> jnp.ndarray:
 
 
 def _pick_engine(scene, engine: str) -> str:
-    if engine == "fused":
-        return "fused"  # runtime/pipeline.py routes this; intersection-wise == flash
     if engine != "auto":
         return engine
     if jax.default_backend() == "tpu":
@@ -526,7 +524,7 @@ def _pick_engine(scene, engine: str) -> str:
 def intersect_nearest(scene, ro, rd, engine: str = "auto") -> TraceResult:
     """Nearest hit (reference: kernels/src/intersection.rs:169-171)."""
     engine = _pick_engine(scene, engine)
-    if engine in ("flash", "fused"):
+    if engine == "flash":
         return intersect_flash(scene, ro, rd, interpret=jax.default_backend() != "tpu")
     if engine == "brute":
         return intersect_brute(scene.tri_feats, ro, rd)
@@ -536,7 +534,7 @@ def intersect_nearest(scene, ro, rd, engine: str = "auto") -> TraceResult:
 def intersect_any(scene, ro, rd, max_t, engine: str = "auto") -> jnp.ndarray:
     """Occlusion within (EPS, max_t] (reference: kernels/src/intersection.rs:173-175)."""
     engine = _pick_engine(scene, engine)
-    if engine in ("flash", "fused"):
+    if engine == "flash":
         return occlude_flash(scene, ro, rd, max_t, interpret=jax.default_backend() != "tpu")
     if engine == "brute":
         return occlude_brute(scene.tri_feats, ro, rd, max_t)

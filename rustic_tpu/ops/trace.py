@@ -118,8 +118,7 @@ def sample_draws(cfg: StaticConfig, sample_idx, offsets) -> jnp.ndarray:
     """All of one sample's per-bounce LDS draws, [B, 8*max_bounces]:
     per bounce 3 BSDF + 4 NEE + 1 roulette (dims as documented above).
     Precomputing them keeps the bounce stages free of integer RNG work
-    (and feeds the fused Pallas bounce kernel, which receives the draws
-    in its packed state block)."""
+    (used by the single-program trace_paths driver)."""
     cols = [
         lds(sample_idx, _AA_DIMS + b * _DIMS_PER_BOUNCE + 1 + k, offsets)
         for b in range(cfg.max_bounces)
@@ -133,8 +132,7 @@ def bounce_draws(bounce: int, sidx, offsets) -> jnp.ndarray:
     dimension assignment as sample_draws. Recomputing per stage instead
     of carrying the [B, 8*max_bounces] block across stage boundaries
     trades ~40 VPU ops/lane for ~1 GB/sample of HBM traffic at
-    megabatch sizes (the staged pipeline uses this; the fused kernel
-    still takes the precomputed block)."""
+    megabatch sizes (the staged pipeline uses this)."""
     cols = [
         lds(sidx, _AA_DIMS + bounce * _DIMS_PER_BOUNCE + 1 + k, offsets)
         for k in range(_DIMS_PER_BOUNCE)
@@ -413,7 +411,7 @@ def trace_paths(
     st = init_state(cfg, cam, px, py, sample_idx, offsets)
     draws = sample_draws(cfg, sample_idx, offsets)
     for bounce in range(cfg.max_bounces):
-        if resolved in ("flash", "fused"):
+        if resolved == "flash":
             res, attrs = intersect_flash_attrs(
                 scene, st.ro, st.rd, interpret=jax.default_backend() != "tpu"
             )

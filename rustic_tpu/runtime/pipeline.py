@@ -588,101 +588,13 @@ def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False,
     return init, pres, finish
 
 
-def fused_applicable(scene, cfg: StaticConfig) -> bool:
-    """The fused bounce kernel covers procedural-sky, untextured scenes
-    (image lookups need gathers a Mosaic kernel cannot do)."""
-    return not cfg.has_skybox and not scene.has_textures
-
-
-@functools.lru_cache(maxsize=16)
-def _fused_glue(cfg: StaticConfig):
-    from rustic_tpu.ops.fused_bounce import init_packed_state
-
-    @jax.jit
-    def init(cam, px, py, sample_idx, offsets):
-        st = trace_mod.init_state(cfg, cam, px, py, sample_idx, offsets)
-        draws = trace_mod.sample_draws(cfg, sample_idx, offsets)
-        params = jnp.concatenate(
-            [
-                cam.sun_direction,
-                cam.specular_weight_clamp,
-                jnp.zeros(10, jnp.float32),
-            ]
-        )
-        return (
-            _ray_features16(st.ro, st.rd),
-            init_packed_state(px.shape[0]),
-            draws,
-            params,
-        )
-
-    @jax.jit
-    def finish(state, occ, film):
-        from rustic_tpu.ops import fused_bounce as F
-        from rustic_tpu.ops import sampling as s
-
-        lit = (state[:, F.ST_PEND_ELIGIBLE] > 0.5) & (occ == 0)
-        radiance = state[:, F.ST_RADIANCE] + jnp.where(
-            lit[:, None], s.mask_nan(state[:, F.ST_PEND_CONTRIB]), 0.0
-        )
-        return film + radiance
-
-    return init, finish
-
-
-def render_batch_fused(
-    scene,
-    cfg: StaticConfig,
-    cam,
-    px: jnp.ndarray,
-    py: jnp.ndarray,
-    offsets: jnp.ndarray,
-    sample_start: int,
-    n_samples: int,
-    film_in: Optional[jnp.ndarray] = None,
-) -> jnp.ndarray:
-    """Render through the fused mega-bounce kernel: per bounce exactly
-    two executables (fused shade+trace, packed occlusion)."""
-    from rustic_tpu.ops.fused_bounce import fused_bounce
-
-    init, finish = _fused_glue(cfg)
-    batch = px.shape[0]
-    film = film_in if film_in is not None else jnp.zeros((batch, 3), jnp.float32)
-    interpret = jax.default_backend() != "tpu"
-    statics = (scene.has_lights, scene.has_glass, scene.n_alias_entries)
-    uses_nee = cfg.nee.uses_nee and scene.has_lights
-    zero_occ = jnp.zeros(batch, jnp.int32)
-
-    for k in range(n_samples):
-        sample_idx = jnp.uint32(sample_start + k)
-        feats, state, draws, params = init(cam, px, py, sample_idx, offsets)
-        occ = zero_occ
-        for bounce in range(cfg.max_bounces):
-            state, feats, sh = fused_bounce(
-                cfg,
-                bounce,
-                feats,
-                state,
-                occ,
-                draws,
-                params,
-                scene.tri_feats16,
-                scene.tri_attrs,
-                scene.entry_rows,
-                statics,
-                interpret=interpret,
-            )
-            if uses_nee:
-                occ = flash_occlude_packed(
-                    sh, scene.tri_feats16, scene.tile_aabbs, interpret=interpret
-                )
-        film = finish(state, occ, film)
-        # Bound queued-intermediate HBM like the staged path: without a
-        # periodic hard sync every sample's dispatch chain stays queued
-        # (observed RESOURCE_EXHAUSTED on the staged path before its
-        # throttle landed).
-        _throttle(film, k)
-    return film
+# The experimental fused mega-bounce kernel (one Mosaic kernel per
+# bounce: scan + sky march + BSDF + NEE) was retired to the
+# archive/fused-bounce branch after two rounds of measurement: 3.4x
+# slower than these staged executables (Mosaic's scheduling of the
+# transcendental-heavy VPU shade tail; PERFORMANCE.md "Why the fused
+# kernel lost"), with no remaining path to a win short of a Mosaic
+# scheduler change.
 
 
 def render_batch_staged(

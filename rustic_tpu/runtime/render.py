@@ -122,7 +122,7 @@ def render_pixels(
         cpu0 = jax.devices("cpu")[0]
         scene = jax.device_put(scene, cpu0)
         film_in = jax.device_put(film_in, cpu0)
-        if engine in ("auto", "flash", "fused"):
+        if engine in ("auto", "flash"):
             # resolve like a CPU host would: the Mosaic kernels are
             # TPU-only and _pick_engine keys on the *default* backend
             from rustic_tpu.ops.intersect import BRUTE_FORCE_MAX_TRIS
@@ -135,27 +135,15 @@ def render_pixels(
 
     resolved = _pick_engine(scene, engine)
     if (
-        resolved in ("flash", "fused")
+        resolved == "flash"
         and jax.default_backend() == "tpu"
         and backend != "cpu"
     ):
         # TPU fast path: staged pipeline around the flash kernels (see
         # runtime/pipeline.py for why it is not one fused XLA program).
-        # engine="fused" opts into the experimental mega-bounce kernel
-        # (currently slower than the staged pipeline under the Mosaic
-        # scheduler — kept for development, not the default).
-        from rustic_tpu.runtime.pipeline import (
-            fused_applicable,
-            render_batch_fused,
-            render_batch_staged,
-        )
+        from rustic_tpu.runtime.pipeline import render_batch_staged
 
-        driver = (
-            render_batch_fused
-            if resolved == "fused" and fused_applicable(scene, cfg)
-            else render_batch_staged
-        )
-        return driver(
+        return render_batch_staged(
             scene,
             cfg,
             cam,
