@@ -224,6 +224,20 @@ def _sentinel_feats(feats, dead):
     return jnp.where(dead[:, None], row, feats)
 
 
+# Buffer donation measured HARMFUL on the axon runtime (2026-08-19,
+# tools/boundary_probe.py): a donated dispatch pays ~2.2-3.4 ms of
+# extra boundary cost vs ~0.2-0.3 ms non-donated — across ~11 staged
+# dispatches per sample that tax WAS the "dispatch residual" of
+# PERFORMANCE.md. Donation also never fully landed ("donated buffers
+# not usable" warnings). Off by default; RUSTIC_DONATE=1 re-enables
+# for runtimes where donation behaves.
+_DONATE = os.environ.get("RUSTIC_DONATE", "0") == "1"
+
+
+def _don(donate):
+    return donate if _DONATE else ()
+
+
 def _jit_stage(fn, donate, mesh, in_specs, out_specs):
     """jit a stage function, shard_mapping it over `mesh` first when one
     is given (multi-chip mode: every per-lane array data-parallel over
@@ -234,7 +248,7 @@ def _jit_stage(fn, donate, mesh, in_specs, out_specs):
             fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
             check_vma=False,
         )
-    return jax.jit(fn, donate_argnums=donate)
+    return jax.jit(fn, donate_argnums=_don(donate))
 
 
 class _Kernels:
@@ -391,6 +405,148 @@ def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1,
     finish = _jit_stage(
         finish, (0, 1, 2, 3), mesh, in_specs=(S, S, S, S), out_specs=S
     )
+
+    pres = [
+        make_pre(b, b == cfg.max_bounces - 1) for b in range(cfg.max_bounces)
+    ]
+    return init, pres, finish
+
+
+def _pack_unsort(inv, *cols):
+    """Unsort kernel outputs (ray order -> state order) with ONE narrow
+    gather: every column rides as f32 (exact for the i32 triangle
+    indices < 2^24 and the 0/1 occlusion flags here)."""
+    parts = [
+        (c if c.dtype == jnp.float32 else c.astype(jnp.float32))[:, None]
+        for c in cols
+    ]
+    g = jnp.concatenate(parts, axis=1)[inv]
+    out = []
+    for k, c in enumerate(cols):
+        v = g[:, k]
+        out.append(v if c.dtype == jnp.float32 else v.astype(c.dtype))
+    return out
+
+
+@functools.lru_cache(maxsize=32)
+def _stages_raysorted(cfg: StaticConfig, fold: int = 1,
+                      edge_margin: float = 0.0):
+    """Stage set for the RAY-SORTED multi-tile driver: the path state
+    stays stationary in pixel order forever; only the kernels' ray
+    operands are permuted.
+
+    The original sorted driver (_stages_sorted) re-orders the WHOLE
+    per-lane state every bounce so ray blocks stay coherent — one
+    ~56-column gather per bounce, measured 66 ms per 1M lanes on v5e
+    (vs 4 ms for the argsort itself): the permute, not the sort, was
+    the multi-tile path's megabatch bottleneck. Here each shade stage
+    instead emits only its (next rays ++ shadow rays) feature rows
+    pre-permuted for the next kernel call ([B, 32] gather) plus the
+    inverse permutation; the next stage unsorts the kernel's 3-5 result
+    columns through one narrow gather. Permute traffic per bounce drops
+    ~6x, and the state never moves.
+
+    Retired lanes still get sentinel rays (far outside every tile AABB)
+    sorted to the back, so fully-dead blocks skip all MXU work inside
+    the kernels — the compaction effect on kernel time survives without
+    compaction; shade stages remain full-width (masked lanes).
+    """
+
+    @jax.jit
+    def init(cam, px, py, sample_idx, offsets):
+        sidx = _fold_sample_idx(sample_idx, px.shape[0], fold)
+        st = trace_mod.init_state(cfg, cam, px, py, sidx, offsets)
+        # camera rays are already pixel-coherent: bounce 0 runs unsorted
+        return st, _ray_features16(st.ro, st.rd), sidx
+
+    def make_pre(bounce: int, last: bool):
+        # st keeps ro/rd on this path (the kernels' feats are sorted, so
+        # they can't double as the state's ray carry like _stages does).
+        @functools.partial(
+            jax.jit, donate_argnums=_don((2, 3, 4, 5, 6, 7, 8, 9))
+        )
+        def pre(scene, cam, st, prev_nee, prev_occ, t, idx, t2, i2, inv,
+                sidx, offsets):
+            if inv is not None:
+                cols = [t, idx] + ([t2, i2] if t2 is not None else [])
+                if prev_occ is not None:
+                    cols.append(prev_occ.astype(jnp.int32))
+                cols = _pack_unsort(inv, *cols)
+                t, idx = cols[0], cols[1]
+                if t2 is not None:
+                    t2, i2 = cols[2], cols[3]
+                if prev_occ is not None:
+                    prev_occ = cols[-1] != 0
+            if prev_nee is not None:
+                st = st._replace(
+                    radiance=_fold_slim_nee(st.radiance, prev_nee, prev_occ)
+                )
+            attrs = gather_attr_rows(scene, idx)
+            attrs2 = None if t2 is None else gather_attr_rows(scene, i2)
+            res, attrs = classify_flash_hit2(
+                t, idx, attrs, t2, i2, attrs2, st.ro, st.rd,
+                edge_margin=edge_margin,
+            )
+            st2, nee_pack = trace_mod.bounce_pre(
+                scene, cfg, cam, bounce, st, res,
+                trace_mod.bounce_draws(bounce, sidx, offsets),
+                attrs=attrs,
+            )
+            if last:
+                # only finish's inputs survive -> the untraced
+                # continuation is DCE'd (see _stages.make_pre). The
+                # final shadow rays still sort (they ride the NEXT
+                # sample group's bounce-0 kernel or the standalone
+                # occlusion scan).
+                if nee_pack is None:
+                    return st2.radiance, None, None, None
+                shadow_feats = _sentinel_feats(
+                    _shadow_feats16(nee_pack), ~nee_pack.eligible
+                )
+                perm = _sort_perm(scene, st2, ~nee_pack.eligible)
+                inv_n = jnp.empty_like(perm).at[perm].set(
+                    jnp.arange(perm.shape[0], dtype=perm.dtype)
+                )
+                slim = (nee_pack.eligible, nee_pack.contribution)
+                return st2.radiance, None, (slim, shadow_feats[perm]), inv_n
+            next_feats = _sentinel_feats(
+                _ray_features16(st2.ro, st2.rd), ~st2.alive
+            )
+            dead = ~st2.alive
+            slim = shadow_feats = None
+            if nee_pack is not None:
+                shadow_feats = _sentinel_feats(
+                    _shadow_feats16(nee_pack), ~nee_pack.eligible
+                )
+                dead = dead & ~nee_pack.eligible
+                slim = (nee_pack.eligible, nee_pack.contribution)
+            perm = _sort_perm(scene, st2, dead)
+            inv_n = jnp.empty_like(perm).at[perm].set(
+                jnp.arange(perm.shape[0], dtype=perm.dtype)
+            )
+            if shadow_feats is None:
+                sf = next_feats[perm]
+                ssh = None
+            else:
+                # one [B, 32] gather serves both ray sets
+                both = jnp.concatenate([next_feats, shadow_feats], axis=1)[
+                    perm
+                ]
+                sf, ssh = both[:, :16], both[:, 16:]
+            nee_out = None if slim is None else (slim, ssh)
+            return st2, sf, nee_out, inv_n
+
+        return pre
+
+    @functools.partial(jax.jit, donate_argnums=_don((0, 1, 2, 4)))
+    def finish(radiance, prev_nee, prev_occ, inv, film):
+        if prev_occ is not None and inv is not None:
+            (prev_occ,) = _pack_unsort(inv, prev_occ.astype(jnp.int32))
+            prev_occ = prev_occ != 0
+        radiance = _fold_slim_nee(radiance, prev_nee, prev_occ)
+        if fold > 1:
+            radiance = radiance.reshape(fold, film.shape[0], 3).sum(axis=0)
+        return film + radiance
 
     pres = [
         make_pre(b, b == cfg.max_bounces - 1) for b in range(cfg.max_bounces)
@@ -630,6 +786,16 @@ def render_batch_staged(
     K = _Kernels(bt, interpret, prec, mesh)
     multi_tile = bt != DEF_BT  # pick_bt returns DEF_BT iff single-tile
     if _SORT_PATHS and multi_tile:
+        # "rays" (default): state stays pixel-stationary, only kernel
+        # ray operands permute (~6x less permute traffic per bounce).
+        # "state": the original whole-state re-sort + compaction
+        # schedules. $RUSTIC_SORT_MODE switches; mesh mode uses "state"
+        # (its shard_map wiring exists there).
+        if mesh is None and os.environ.get("RUSTIC_SORT_MODE", "rays") == "rays":
+            return _render_batch_raysorted(
+                scene, cfg, cam, px, py, offsets, sample_start, n_samples,
+                film, bt, interpret, prec,
+            )
         return _render_batch_sorted(
             scene, cfg, cam, px, py, offsets, sample_start, n_samples,
             film, bt, interpret, prec, mesh=mesh,
@@ -720,6 +886,76 @@ def _flush_held(held, film, g16, scene, K):
         K.occlude_packed(pending_shadow, g16, scene.tile_aabbs) != 0
     )
     return finish(rad, prev_nee, final_occ, film)
+
+
+def _flush_held_rs(held, film, g16, scene, K):
+    """Ray-sorted variant of _flush_held: the held shadow rows are in
+    their group's final ray order; finish unsorts the occlusion column
+    through the held inverse permutation."""
+    rad, prev_nee, shadow_sorted, inv, finish = held
+    occ = K.occlude_packed(shadow_sorted, g16, scene.tile_aabbs) != 0
+    return finish(rad, prev_nee, occ, inv, film)
+
+
+def _render_batch_raysorted(
+    scene, cfg, cam, px, py, offsets, sample_start, n_samples, film,
+    bt, interpret, prec,
+):
+    """Multi-tile staged driver, ray-sorted (see _stages_raysorted):
+    kernels receive origin-coherent, dead-last ray blocks; the path
+    state never moves. Keeps the unsorted driver's sample folding and
+    the held-group trick (the final shadow scan of group k rides group
+    k+1's bounce-0 kernel)."""
+    g16 = scene.tri_feats16
+    K = _Kernels(bt, interpret, prec)
+    fold = pick_sample_fold(px.shape[0], n_samples)
+    tiled = _tile_inputs((px, py, offsets), fold)
+    held = None  # (radiance, prev_nee, sorted_shadow, inv, finish)
+    for k in range(0, n_samples, fold):
+        g = min(fold, n_samples - k)
+        init, pres, finish = _stages_raysorted(
+            cfg, fold=g, edge_margin=near_edge_margin(prec)
+        )
+        pxg, pyg, offg = (
+            tiled if g == fold else _tile_inputs((px, py, offsets), g)
+        )
+        if held is not None and held[2].shape[0] != pxg.shape[0]:
+            film = _flush_held_rs(held, film, g16, scene, K)
+            held = None
+        st, feats, sidx = init(
+            cam, pxg, pyg, jnp.uint32(sample_start + k), offg
+        )
+        prev_nee = pending_shadow = inv = None
+        for bounce in range(cfg.max_bounces):
+            held_here = bounce == 0 and held is not None
+            sh = held[2] if held_here else pending_shadow
+            if sh is None:
+                t, idx, t2, i2 = K.nearest(feats, g16, scene.tile_aabbs)
+                prev_occ = None
+            else:
+                t, idx, prev_occ, t2, i2 = K.nearest_shadow(
+                    feats, sh, g16, scene.tile_aabbs
+                )
+            if held_here:
+                rad_h, nee_h, _sh, inv_h, finish_h = held
+                film = finish_h(rad_h, nee_h, prev_occ, inv_h, film)
+                held = None
+                prev_occ = None
+            st, feats, nee, inv = pres[bounce](
+                scene, cam, st, prev_nee, prev_occ, t, idx, t2, i2, inv,
+                sidx, offg,
+            )
+            prev_nee = pending_shadow = None
+            if nee is not None:
+                prev_nee, pending_shadow = nee
+        if pending_shadow is not None:
+            held = (st, prev_nee, pending_shadow, inv, finish)
+        else:
+            film = finish(st, prev_nee, None, None, film)
+        _throttle(film, k // fold, _THROTTLE_GROUPS_SORTED)
+    if held is not None:
+        film = _flush_held_rs(held, film, g16, scene, K)
+    return film
 
 
 def _quantize_schedule(counts, lanes: int, bt: int, measured: int = None):

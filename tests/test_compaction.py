@@ -59,12 +59,16 @@ def test_quantize_schedule():
     assert P._quantize_schedule([15000, 14000, 13000], 16384, 256) is None
 
 
+@pytest.mark.slow  # multi-group equality render
 def test_compacted_film_matches_uncompacted(monkeypatch):
     """FurnaceTest retires ~94% of lanes at bounce 0 (camera rays end on
     the emissive shell), so the pilot-measured schedule compacts hard;
     the compacted multi-group render must equal the sum of per-sample
     renders with compaction forced off."""
     monkeypatch.setenv("RUSTIC_SAMPLE_FOLD", "1")
+    # compaction schedules live on the state-sorted driver (the
+    # ray-sorted default keeps state stationary and never compacts)
+    monkeypatch.setenv("RUSTIC_SORT_MODE", "state")
     seen = {}
     orig = P._quantize_schedule
 
@@ -82,12 +86,14 @@ def test_compacted_film_matches_uncompacted(monkeypatch):
     np.testing.assert_allclose(multi, ref, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow  # multi-group equality render
 def test_overflow_redo_is_unbiased(monkeypatch):
     """Force a schedule that drops live lanes (VeachMIS keeps ~82% at
     bounce 0, the forced schedule keeps 256 of 512): the overflow flag
     must trip and the driver must re-render the window uncompacted,
     landing on the exact uncompacted film."""
     monkeypatch.setenv("RUSTIC_SAMPLE_FOLD", "1")
+    monkeypatch.setenv("RUSTIC_SORT_MODE", "state")
     tripped = {}
 
     def bogus(counts, lanes, bt, **kw):

@@ -2,6 +2,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from rustic_tpu.cli import main
 from rustic_tpu.config import NextEventEstimation, TracingConfig
@@ -36,6 +37,7 @@ def test_reference_compare_roundtrip(cornell_scene, tmp_path):
     assert out2["rmse"] < 1e-6
 
 
+@pytest.mark.slow  # CLI end-to-end render
 def test_cli_compare(tmp_path, capsys):
     rc = main(
         [

@@ -426,7 +426,7 @@ def test_mixed2_multitile_merge(furnace_scene):
 # ---------------------------------------------------------------------------
 
 
-def test_resident_nearest_matches_streamed(furnace_scene):
+def test_resident_nearest_matches_streamed(furnace_scene, monkeypatch):
     """The resident-G kernel (whole triangle table in VMEM, unrolled
     tile loop) must agree exactly with the streamed grid formulation —
     same math, same tile visit order, no grid dimension."""
@@ -438,6 +438,7 @@ def test_resident_nearest_matches_streamed(furnace_scene):
     )
 
     scene = furnace_scene
+    monkeypatch.setenv("RUSTIC_RESIDENT", "1")  # opt-in since 2026-08-19
     assert use_resident("f32", scene.tri_feats16, "near")
     rng = np.random.default_rng(31)
     n = 700  # not a block multiple: exercises ray padding

@@ -96,6 +96,7 @@ def test_glass_energy_bounded():
     assert glass < 5.01  # cannot exceed the emitter radiance
 
 
+@pytest.mark.slow  # full-scene render
 def test_glass_test_scene_loads_and_renders():
     """The generated GlassTest.glb (tools/make_scenes.py — coverage for
     the reference's stripped GlassTest scene / BASELINE config #3) must

@@ -60,6 +60,7 @@ def test_sharded_step_film_accumulates(cornell_scene, cfg):
     assert float(jnp.sum(film2)) > sum1 * 1.2
 
 
+@pytest.mark.slow  # mesh renders
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
@@ -77,6 +78,7 @@ def test_assemble_film_single_process():
     np.testing.assert_array_equal(out, film)
 
 
+@pytest.mark.slow  # mesh renders
 def test_sharded_staged_matches_single_device(cornell_scene, cfg):
     """The staged fast path shard_mapped over a ('px',) mesh must equal
     the single-device staged render exactly: each stage is pure data
@@ -106,6 +108,7 @@ def test_sharded_staged_matches_single_device(cornell_scene, cfg):
     np.testing.assert_allclose(multi, single, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow  # mesh renders
 def test_sharded_staged_sorted_path(furnace_scene):
     """Multi-tile scene -> the sorted staged driver under the mesh (per
     -shard sorting; film scatter-add stays shard-local)."""

@@ -57,6 +57,9 @@ CASES = [
 ]
 
 
+pytestmark = pytest.mark.slow  # film gates: ~3 min of renders
+
+
 @pytest.mark.parametrize("name,ref_file,cfg_kw", CASES)
 def test_against_reference_film(name, ref_file, cfg_kw):
     path = os.path.join(REF_DIR, ref_file)

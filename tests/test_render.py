@@ -32,6 +32,7 @@ def test_cornell_color_structure(cornell_frame):
     assert np.isfinite(film).all()
 
 
+@pytest.mark.slow  # pipeline equality renders
 def test_engines_render_identically(cornell_scene):
     cfg = TracingConfig(width=24, height=16, nee=NextEventEstimation.MIS)
     settings = RenderSettings(samples=4)
@@ -42,6 +43,7 @@ def test_engines_render_identically(cornell_scene):
     np.testing.assert_allclose(brute, flash, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow  # pipeline equality renders
 def test_staged_pipeline_matches_fused(cornell_scene):
     from rustic_tpu.ops.trace import accumulate_samples
     from rustic_tpu.runtime.pipeline import render_batch_staged
@@ -62,6 +64,7 @@ def test_staged_pipeline_matches_fused(cornell_scene):
     )
 
 
+@pytest.mark.slow  # pipeline equality renders
 def test_staged_pipeline_matches_fused_multitile():
     """VeachMIS spans several triangle tiles, exercising the running
     min/or combine of the MULTI-tile merged nearest+shadow kernel
@@ -119,6 +122,7 @@ def test_veach_renders(tmp_path):
     assert film.max() > 0.0
 
 
+@pytest.mark.slow  # pipeline equality renders
 def test_break_time_textured_skybox_renders():
     """BreakTime (BASELINE config #5 stand-in): full PBR maps + normal
     mapping + HDR skybox through the window. Engine-equality is the

@@ -14,6 +14,9 @@ import pytest
 from rustic_tpu.runtime import pipeline as P
 
 
+pytestmark = pytest.mark.slow  # fold-equality renders: ~1.5 min
+
+
 @pytest.fixture()
 def fold_env(monkeypatch):
     def set_fold(n):

@@ -10,6 +10,7 @@ and the block-size heuristic must only deviate for multi-tile scenes.
 
 import jax
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from rustic_tpu.runtime import pipeline as P
@@ -100,3 +101,63 @@ def test_pick_bt_single_vs_multi(cornell_scene):
     assert pick_bt(cornell_scene.tri_feats16) == DEF_BT
     veach = World.from_path(scene_path("VeachMIS.glb")).to_device()
     assert pick_bt(veach.tri_feats16) == 256
+
+
+def test_pack_unsort_exact():
+    rng = np.random.default_rng(5)
+    n = 300
+    perm = jnp.asarray(rng.permutation(n), jnp.int32)
+    inv = jnp.zeros(n, jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
+    t = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 1 << 23, n), jnp.int32)
+    occ = jnp.asarray(rng.integers(0, 2, n), jnp.int32)
+    ts, idxs, occs = t[perm], idx[perm], occ[perm]
+    t2, idx2, occ2 = P._pack_unsort(inv, ts, idxs, occs)
+    np.testing.assert_array_equal(np.asarray(t2), np.asarray(t))
+    np.testing.assert_array_equal(np.asarray(idx2), np.asarray(idx))
+    np.testing.assert_array_equal(np.asarray(occ2), np.asarray(occ))
+    assert idx2.dtype == jnp.int32 and occ2.dtype == jnp.int32
+
+
+def _render_multitile(scene, mode, spp, monkeypatch, n_px=1024, seed=9):
+    from rustic_tpu.config import NextEventEstimation, TracingConfig
+
+    config = TracingConfig(width=64, height=64, nee=NextEventEstimation.MIS)
+    rng = np.random.default_rng(seed)
+    px = jnp.asarray(rng.integers(0, 64, n_px), jnp.int32)
+    py = jnp.asarray(rng.integers(0, 64, n_px), jnp.int32)
+    offsets = jnp.asarray(rng.integers(0, 1 << 31, n_px), jnp.uint32)
+    with monkeypatch.context() as m:
+        if mode == "off":
+            m.setattr(P, "_SORT_PATHS", False)
+        else:
+            m.setenv("RUSTIC_SORT_MODE", mode)
+        return np.asarray(
+            P.render_batch_staged(
+                scene, config.static_part(), config.dynamic_part(),
+                px, py, offsets, 0, spp,
+            )
+        )
+
+
+@pytest.mark.slow  # 3-driver equality render
+def test_raysorted_matches_state_sorted_and_unsorted(
+    furnace_world, monkeypatch
+):
+    """The ray-sorted driver must produce the same film as the
+    state-sorted and unsorted drivers: sorting/unsorting kernel operands
+    is a pure reordering, never a math change. FurnaceTest is
+    multi-tile, NEE-heavy, and retires most lanes after bounce 1 —
+    exercising sentinels, the merged nearest+shadow unsort, and the
+    held-group finish."""
+    scene = furnace_world.to_device()
+    films = {
+        mode: _render_multitile(scene, mode, 3, monkeypatch)
+        for mode in ("rays", "state", "off")
+    }
+    np.testing.assert_allclose(
+        films["rays"], films["state"], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        films["rays"], films["off"], rtol=1e-5, atol=1e-6
+    )
