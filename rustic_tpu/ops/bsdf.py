@@ -206,13 +206,15 @@ def material_from_attrs(
     (static flag), mirroring kernels/src/bsdf.rs:354-387 semantics."""
     from rustic_tpu.scene import world as W
 
-    albedo_slot = attrs[:, W.ATTR_ALBEDO]
-    rough_slot = attrs[:, W.ATTR_ROUGH]
-    metal_slot = attrs[:, W.ATTR_METAL]
-    albedo = albedo_slot[:, :3]
-    roughness = rough_slot[:, 0]
-    metallic = metal_slot[:, 0]
+    albedo = W.attr_albedo3(attrs)
+    roughness = W.attr_rough_scalar(attrs)
+    metallic = W.attr_metal_scalar(attrs)
     if scene.has_textures:
+        # textured scenes always carry full-width rows (slim tables are
+        # built only for untextured scenes, scene/world.py)
+        albedo_slot = attrs[:, W.ATTR_ALBEDO]
+        rough_slot = attrs[:, W.ATTR_ROUGH]
+        metal_slot = attrs[:, W.ATTR_METAL]
         has_tex = attrs[:, W.ATTR_HASTEX]
         albedo_tex = sample_atlas(scene.atlas, albedo_slot, uv)[..., :3]
         albedo = jnp.where(has_tex[:, 0:1] != 0, albedo_tex, albedo)

@@ -293,9 +293,15 @@ class _DotPlan:
         # 64^2 VeachMIS off by 5e-2; mean |d| ~1e-5, energy 1.0000).
         self.exact = (precision == "f32") if exact is None else exact
         # inclusive validity margin for the nearest scan when any of its
-        # window columns ride the ~2^-16 bf16 split (see _epilogue)
+        # window columns ride the ~2^-16 bf16 split (see _epilogue).
+        # $RUSTIC_NEAR_MARGIN tunes it: the margin trades false edge
+        # REJECTS (cracks, if below the split-dot noise) against the
+        # clamp-shaded false-admit bias measured at +0.30% film energy
+        # at 1e-3 (see resolve_precision) — the bias scales ~linearly
+        # with the margin while the noise floor is ~5e-5.
         split_near = precision in ("bf16x3", "mixed2", "near2")
-        self.near_margin = 1e-3 if split_near else 0.0
+        margin = float(os.environ.get("RUSTIC_NEAR_MARGIN", "1e-3"))
+        self.near_margin = margin if split_near else 0.0
         # split-window scans also raise the det floor: every window
         # quantity scales with d while the split-dot noise is absolute,
         # so tiny-d pairs would otherwise drown in u/v noise

@@ -342,13 +342,21 @@ def occlude_bvh(scene, ro, rd, max_t) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _ray_features16(ro, rd):
-    # One concatenate including the 6 zero pad columns: a separate
+def _ray_features16(ro, rd, maxt=None):
+    # One concatenate including the zero pad columns: a separate
     # jnp.pad materializes the whole [B, 16] block a second time
-    # (measured 0.36 ms per build at 1.84M lanes on v5e).
-    zeros = jnp.zeros(ro.shape[:-1] + (6,), ro.dtype)
+    # (measured 0.36 ms per build at 1.84M lanes on v5e). `maxt` fills
+    # the shadow-ray column (flash_intersect.SH_MAXT_COL == 10)
+    # directly — an .at[:, 10].set() after the fact copies the whole
+    # [B, 16] block again (~1.2 ms at 3.7M lanes).
     ones = jnp.ones(ro.shape[:-1] + (1,), ro.dtype)
-    return jnp.concatenate([rd, cross(ro, rd), ro, ones, zeros], axis=-1)
+    if maxt is None:
+        tail = jnp.zeros(ro.shape[:-1] + (6,), ro.dtype)
+        return jnp.concatenate([rd, cross(ro, rd), ro, ones, tail], axis=-1)
+    tail = jnp.zeros(ro.shape[:-1] + (5,), ro.dtype)
+    return jnp.concatenate(
+        [rd, cross(ro, rd), ro, ones, maxt[..., None], tail], axis=-1
+    )
 
 
 def refine_from_attrs(attrs, ro, rd):
@@ -476,10 +484,8 @@ def intersect_flash_attrs(scene, ro, rd, interpret: bool = False):
         res, win = classify_flash_hit2(
             t, idx, attrs, t2, i2, attrs2, ro, rd, edge_margin=margin
         )
-        if win.shape[-1] != 64:  # kernel emitted slim untextured rows
-            from rustic_tpu.scene import world as W
-
-            win = W.expand_slim_attrs(win)
+        # slim untextured rows pass through unexpanded — bounce_pre reads
+        # either layout natively (scene/world.py attr_* accessors)
         return res, win
     t, idx, t2, i2 = flash_nearest(
         _ray_features16(ro, rd),
@@ -500,11 +506,14 @@ def intersect_flash(scene, ro, rd, interpret: bool = False) -> TraceResult:
 
 
 def occlude_flash(scene, ro, rd, max_t, interpret: bool = False) -> jnp.ndarray:
-    from rustic_tpu.ops.flash_intersect import flash_occlude
+    from rustic_tpu.ops.flash_intersect import flash_occlude_packed
 
-    return flash_occlude(
-        _ray_features16(ro, rd), max_t, scene.tri_feats16, scene.tile_aabbs,
-        interpret=interpret,
+    return (
+        flash_occlude_packed(
+            _ray_features16(ro, rd, max_t), scene.tri_feats16,
+            scene.tile_aabbs, interpret=interpret,
+        )
+        != 0
     )
 
 

@@ -115,13 +115,65 @@ def fetch_entry_rows(scene, entry):
     return out
 
 
+def resolve_entry_fields(scene, entry, r2):
+    """resolve_entry(fetch_entry_rows(...)) without ever materializing a
+    [B, ENTRY_WIDTH] row matrix: for small tables every resolved field
+    is a per-entry select-sum against the STATIC table rows (scalar /
+    tiny-vector broadcasts), so only the ~16 resolved columns are
+    written to HBM. At 3.7M lanes the row-matrix formulation cost
+    several ms of pure [B, 48] traffic per shade stage."""
+    from rustic_tpu.scene import world as W
+
+    n = scene.n_alias_entries
+    if n > ENTRY_SELECT_MAX:
+        return resolve_entry(scene.entry_rows[entry], r2)
+
+    def zeros_like_row(sl):
+        w = (sl.stop - sl.start) if isinstance(sl, slice) else None
+        if w is None:
+            return jnp.zeros(entry.shape, jnp.float32)
+        return jnp.zeros(entry.shape + (w,), jnp.float32)
+
+    specs = {
+        "area": (W.ENTRY_AREA_A, W.ENTRY_AREA_B),
+        "pdf": (W.ENTRY_PDF_A, W.ENTRY_PDF_B),
+        "verts": (W.ENTRY_A_VERTS, W.ENTRY_B_VERTS),
+        "normal": (W.ENTRY_A_NORMAL, W.ENTRY_B_NORMAL),
+        "emission": (W.ENTRY_A_EMISSION, W.ENTRY_B_EMISSION),
+        "tri": (W.ENTRY_A_TRI, W.ENTRY_B_TRI),
+    }
+    acc = {name: zeros_like_row(a) for name, (a, _) in specs.items()}
+    for k in range(n):
+        row = scene.entry_rows[k]  # [ENTRY_WIDTH] — broadcasts, no gather
+        use = entry == k
+        take = use & (r2 < row[W.ENTRY_RATIO])
+        for name, (a_sl, b_sl) in specs.items():
+            v = jnp.where(
+                take[:, None] if isinstance(a_sl, slice) else take,
+                row[a_sl], row[b_sl],
+            )
+            m = use[:, None] if isinstance(a_sl, slice) else use
+            acc[name] = acc[name] + jnp.where(m, v, 0.0)
+    verts = acc["verts"]
+    return {
+        "area": acc["area"],
+        "pdf": acc["pdf"],
+        "va": verts[:, 0:3],
+        "vb": verts[:, 3:6],
+        "vc": verts[:, 6:9],
+        "normal": acc["normal"],
+        "emission": acc["emission"],
+        "tri_idx": acc["tri"].astype(jnp.int32),
+    }
+
+
 def pick_light(scene, r1, r2):
     """O(1) alias-table pick (reference: kernels/src/light_pick.rs:8-16):
     one combined-row fetch resolves the pick and the light's geometry.
     Returns (global_triangle_index, area, pick_pdf), each [B]."""
     n = scene.n_alias_entries
     entry = jnp.clip((r1 * n).astype(jnp.int32), 0, n - 1)
-    fields = resolve_entry(fetch_entry_rows(scene, entry), r2)
+    fields = resolve_entry_fields(scene, entry, r2)
     return fields["tri_idx"], fields["area"], fields["pdf"]
 
 
@@ -174,7 +226,7 @@ def prepare_direct_lighting(
     # reads, kernels/src/light_pick.rs:121-131).
     n = scene.n_alias_entries
     entry = jnp.clip((r1 * n).astype(jnp.int32), 0, n - 1)
-    light = resolve_entry(fetch_entry_rows(scene, entry), r2)
+    light = resolve_entry_fields(scene, entry, r2)
     light_area = light["area"]
     light_pick_pdf = light["pdf"]
     la, lb, lc = light["va"], light["vb"], light["vc"]

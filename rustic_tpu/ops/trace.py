@@ -213,7 +213,7 @@ def bounce_pre(
     missed = st.missed | miss
 
     hit_alive = st.alive & res.hit
-    emissive = attrs[:, W.ATTR_EMISSIVE]
+    emissive = W.attr_emissive(attrs)
     is_emissive = jnp.any(emissive != 0.0, axis=-1)
     emis_hit = hit_alive & is_emissive
     front_emis = emis_hit & ~res.backface
@@ -257,10 +257,17 @@ def bounce_pre(
     # only its normal-map branch normalizes, lib.rs:140). |n| < 1 on
     # coarse meshes slightly darkens NEE; kept to match its images.
     normal = w_a * nrm[:, 0:3] + w_b * nrm[:, 3:6] + w_c * nrm[:, 6:9]
-    uvs = attrs[:, W.ATTR_UV]
-    uv = w_a * uvs[:, 0:2] + w_b * uvs[:, 2:4] + w_c * uvs[:, 4:6]
-    out_of_range = jnp.any((uv < 0.0) | (uv > 1.0), axis=-1, keepdims=True)
-    uv = jnp.where(out_of_range, uv - jnp.floor(uv), uv)
+    if W.attr_is_slim(attrs):
+        # slim rows exist only for untextured scenes: UVs are never
+        # consumed, so skip the blend/wrap instead of expanding the row
+        uv = jnp.zeros((batch, 2), jnp.float32)
+    else:
+        uvs = attrs[:, W.ATTR_UV]
+        uv = w_a * uvs[:, 0:2] + w_b * uvs[:, 2:4] + w_c * uvs[:, 4:6]
+        out_of_range = jnp.any(
+            (uv < 0.0) | (uv > 1.0), axis=-1, keepdims=True
+        )
+        uv = jnp.where(out_of_range, uv - jnp.floor(uv), uv)
 
     # ---- normal mapping (kernels/src/lib.rs:131-141) -----------------------
     # (statically skipped for scenes without any texture maps)
@@ -291,9 +298,9 @@ def bounce_pre(
         # GGX dielectric for KHR_materials_transmission materials —
         # the glass BSDF the reference ships unwired
         # (kernels/src/bsdf.rs:107-176), selected per lane.
-        is_glass = attrs[:, W.ATTR_TRANSMISSION] > 0.0
+        is_glass = W.attr_transmission(attrs) > 0.0
         gs = bsdf_mod.glass_sample(
-            mat.albedo, attrs[:, W.ATTR_IOR], mat.roughness, -rd, normal,
+            mat.albedo, W.attr_ior(attrs), mat.roughness, -rd, normal,
             r1, r2, r3,
         )
         bs = bsdf_mod.BSDFSample(

@@ -130,8 +130,9 @@ def _tile_inputs(arrs, fold: int):
 
 def _shadow_feats16(nee_pack):
     """Shadow rays as packed feature rows, max_t in SH_MAXT_COL."""
-    feats = _ray_features16(nee_pack.shadow_ro, nee_pack.shadow_rd)
-    return feats.at[:, 10].set(nee_pack.shadow_maxt)
+    return _ray_features16(
+        nee_pack.shadow_ro, nee_pack.shadow_rd, nee_pack.shadow_maxt
+    )
 
 
 def _fold_slim_nee(radiance, prev_nee, prev_occ):
@@ -357,10 +358,9 @@ def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1,
                     t, idx, attrs, t2, idx2, attrs2, st.ro, st.rd,
                     edge_margin=edge_margin,
                 )
-            from rustic_tpu.scene import world as W
-
-            if attrs.shape[-1] != W.ATTR_WIDTH:  # kernel emitted slim rows
-                attrs = W.expand_slim_attrs(attrs)
+            # slim kernel-emitted rows are consumed natively by
+            # bounce_pre (scene/world.py attr_* accessors) — no [B, 64]
+            # expansion crosses the fusion graph.
             st2, nee_pack = trace_mod.bounce_pre(
                 scene, cfg, cam, bounce, st, res,
                 trace_mod.bounce_draws(bounce, sidx, offsets),

@@ -69,6 +69,39 @@ def slim_attr_table(attrs: "np.ndarray") -> "np.ndarray":
     return out
 
 
+def attr_is_slim(attrs) -> bool:
+    """Static layout test for a per-lane shading-row batch."""
+    return attrs.shape[-1] == SLIM_WIDTH
+
+
+def attr_emissive(attrs):
+    return attrs[:, SLIM_EMISSIVE if attr_is_slim(attrs) else ATTR_EMISSIVE]
+
+
+def attr_albedo3(attrs):
+    if attr_is_slim(attrs):
+        return attrs[:, SLIM_ALBEDO]
+    return attrs[:, ATTR_ALBEDO][:, :3]
+
+
+def attr_rough_scalar(attrs):
+    return attrs[:, SLIM_ROUGH if attr_is_slim(attrs) else ATTR_ROUGH.start]
+
+
+def attr_metal_scalar(attrs):
+    return attrs[:, SLIM_METAL if attr_is_slim(attrs) else ATTR_METAL.start]
+
+
+def attr_transmission(attrs):
+    return attrs[
+        :, SLIM_TRANSMISSION if attr_is_slim(attrs) else ATTR_TRANSMISSION
+    ]
+
+
+def attr_ior(attrs):
+    return attrs[:, SLIM_IOR if attr_is_slim(attrs) else ATTR_IOR]
+
+
 def expand_slim_attrs(slim: jnp.ndarray) -> jnp.ndarray:
     """[B, SLIM_WIDTH] -> the full logical [B, ATTR_WIDTH] row. A pure
     column shuffle — XLA fuses it into the consumers, so only the slim
