@@ -170,6 +170,11 @@ def main(argv=None):
         "render_s_all": [round(t, 3) for t in render_times],
         "compile_s": round(warmup_s, 2),
         "scene_build_s": round(scene_build_s, 2),
+        # time-to-first-frame: scene build + compile/warm render. The
+        # reference's startup bench is ~3.0 s (benches/benchmark.rs:11);
+        # with a hot persistent XLA cache this is the warm number, on a
+        # fresh cache the cold one.
+        "startup_s": round(scene_build_s + warmup_s, 2),
         "total_s": round(time.time() - t_start, 2),
         "backend": backend,
         "spp_per_s": round(spp / render_s, 2),

@@ -21,12 +21,14 @@ ALBEDO = 0.8
 SAMPLES = 32
 
 
-def _furnace_value(furnace_scene, nee: NextEventEstimation) -> np.ndarray:
+def _furnace_value(
+    furnace_scene, nee: NextEventEstimation, samples: int = SAMPLES
+) -> np.ndarray:
     cfg = TracingConfig(width=SIZE, height=SIZE, nee=nee)
     px = np.array([COORD[0]], np.int32)
     py = np.array([COORD[1]], np.int32)
-    film = np.asarray(render_pixels(furnace_scene, cfg, px, py, samples=SAMPLES))
-    return (film[0] / SAMPLES) ** (1.0 / 2.2)
+    film = np.asarray(render_pixels(furnace_scene, cfg, px, py, samples=samples))
+    return (film[0] / samples) ** (1.0 / 2.2)
 
 
 def test_furnace(furnace_scene):
@@ -35,13 +37,26 @@ def test_furnace(furnace_scene):
 
 
 def test_furnace_mis(furnace_scene):
-    # MIS must conserve the same energy. Tolerance 0.03 instead of the
-    # reference's 0.02: the per-pixel noise realization differs (our
-    # pixel seeds are deterministic hashes, not host RNG draws) and the
-    # MIS estimator's single-pixel variance at 32 spp straddles 0.02.
-    # At 128 spp it converges to the NEE-off value (see test below).
-    pixel = _furnace_value(furnace_scene, NextEventEstimation.MIS)
-    assert np.all(np.abs(pixel - ALBEDO) < 0.03), pixel
+    # MIS must conserve the same energy, inside the reference's own
+    # ±0.02 gate (tests/correctness_tests.rs:14-32). The MIS estimator's
+    # single-pixel variance at the reference's 32 spp straddles 0.02
+    # under our (different) deterministic pixel seeds, so this cell
+    # averages 4x the samples — variance, not bias: the 512-spp matrix
+    # below pins all modes at ±0.02.
+    pixel = _furnace_value(furnace_scene, NextEventEstimation.MIS, samples=128)
+    assert np.all(np.abs(pixel - ALBEDO) < 0.02), pixel
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "nee", [NextEventEstimation.NONE, NextEventEstimation.MIS]
+)
+def test_furnace_high_spp(furnace_scene, nee):
+    """512-spp furnace at the reference's exact ±0.02 tolerance — the
+    bias-vs-noise settle for both NEE modes (VERDICT round-1 item 4).
+    The TPU twin of this matrix is run by tools/tpu_roundup.py."""
+    pixel = _furnace_value(furnace_scene, nee, samples=512)
+    assert np.all(np.abs(pixel - ALBEDO) < 0.02), (nee, pixel)
 
 
 def test_dls_matches_mis_on_black_emitters(tmp_path):

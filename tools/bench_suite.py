@@ -76,9 +76,21 @@ def run_config(idx: int, spec: dict, scale: int) -> dict:
         kwargs["cam_position"] = (0.0, 1.8, -3.2)
     config = TracingConfig(**kwargs)
 
-    # warm: compile every stage shape the timed run uses
+    # warm: compile every stage shape the timed run uses. The fold (and
+    # therefore every executable's lane count) depends on the sample
+    # count, so warming with samples=1 compiles the WRONG shapes and
+    # the timed window pays all the real compiles (observed: config 1
+    # at 0.064 Mpaths/s with the compile inside `wall`). Warm with one
+    # full fold-group instead — the same shapes the timed run runs.
+    from rustic_tpu.runtime.pipeline import pick_sample_fold
+
+    settings = RenderSettings(samples=spp)
+    batch = min(int(settings.batch_pixels), w * h)
     t0 = time.time()
-    film = render_image(scene, config, RenderSettings(samples=1))
+    film = render_image(
+        scene, config,
+        RenderSettings(samples=pick_sample_fold(batch, spp)),
+    )
     np.asarray(film[:1])
     warm_s = time.time() - t0
 
