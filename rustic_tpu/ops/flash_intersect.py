@@ -953,6 +953,16 @@ def _pad_rays(feats, bt):
     return feats.T, b, feats.shape[0] // bt
 
 
+def _pad_rays_t(feats_t, bt):
+    """Already-transposed [16, B] feature rows (the Mosaic shade
+    kernel's native output, ops/shade_kernel.py) -> padded operand."""
+    b = feats_t.shape[1]
+    pad = (-b) % bt
+    if pad:
+        feats_t = jnp.pad(feats_t, ((0, 0), (0, pad)))
+    return feats_t, b, feats_t.shape[1] // bt
+
+
 def _geometry(tri_feats16):
     total = tri_feats16.shape[-1]
     # total = nt * 4 * tt with tt = tile_size(t_pad), t_pad = nt * tt
@@ -1185,12 +1195,28 @@ def flash_nearest_attrs(feats, tri_feats16, tile_aabbs, attr_split,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("bt", "interpret", "precision"))
+def flash_nearest_attrs_t(feats_t, tri_feats16, tile_aabbs, attr_split,
+                          bt=DEF_BT, interpret=False, precision="auto"):
+    """flash_nearest_attrs with TRANSPOSED ray/attr layout: takes
+    [16, B] feature rows and returns the attr rows as [W, B] — the
+    Mosaic shade kernel's native forms (ops/shade_kernel.py), chaining
+    kernel-to-kernel with zero relayout."""
+    precision = resolve_precision(precision, interpret)
+    return _flash_nearest_attrs(
+        feats_t, tri_feats16, tile_aabbs, attr_split, bt=bt,
+        interpret=interpret, precision=precision, transposed=True,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bt", "interpret", "precision", "transposed")
+)
 def _flash_nearest_attrs(
-    feats, tri_feats16, tile_aabbs, attr_split, bt, interpret, precision
+    feats, tri_feats16, tile_aabbs, attr_split, bt, interpret, precision,
+    transposed: bool = False,
 ):
     plan = _plan_for(precision, "near")
-    feats, b, nb = _pad_rays(feats, bt)
+    feats, b, nb = (_pad_rays_t if transposed else _pad_rays)(feats, bt)
     t_pad, tt, nt = _geometry(tri_feats16)
     assert nt == 1, "in-kernel attr emission is single-tile only"
     g_ops = plan.g_operands(tri_feats16)
@@ -1218,8 +1244,12 @@ def _flash_nearest_attrs(
     )(feats, *g_ops, parts[0], parts[1], parts[2])
     nn = _n_near(plan)
     t1, i1, t2, i2 = _near_rows(plan, outs[:nn], b)
-    attrs = outs[nn][:, :b].T
-    attrs2 = outs[nn + 1][:, :b].T if plan.top2 else None
+    if transposed:
+        attrs = outs[nn][:, :b]
+        attrs2 = outs[nn + 1][:, :b] if plan.top2 else None
+    else:
+        attrs = outs[nn][:, :b].T
+        attrs2 = outs[nn + 1][:, :b].T if plan.top2 else None
     return t1, i1, attrs, t2, i2, attrs2
 
 
@@ -1235,14 +1265,30 @@ def flash_nearest_shadow_attrs(feats, shadow_feats, tri_feats16, tile_aabbs,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("bt", "interpret", "precision"))
+def flash_nearest_shadow_attrs_t(feats_t, shadow_feats_t, tri_feats16,
+                                 tile_aabbs, attr_split, bt=DEF_BT,
+                                 interpret=False, precision="auto"):
+    """Transposed-layout twin of flash_nearest_shadow_attrs (see
+    flash_nearest_attrs_t); also returns the occlusion row as raw i32
+    so the shade kernel consumes it without an XLA conversion dispatch."""
+    precision = resolve_precision(precision, interpret)
+    return _flash_nearest_shadow_attrs(
+        feats_t, shadow_feats_t, tri_feats16, tile_aabbs, attr_split,
+        bt=bt, interpret=interpret, precision=precision, transposed=True,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bt", "interpret", "precision", "transposed")
+)
 def _flash_nearest_shadow_attrs(
     feats, shadow_feats, tri_feats16, tile_aabbs, attr_split, bt,
-    interpret, precision,
+    interpret, precision, transposed: bool = False,
 ):
     plan = _DotPlan(precision)
-    feats, b, nb = _pad_rays(feats, bt)
-    shadow_feats, _, _ = _pad_rays(shadow_feats, bt)
+    pad_fn = _pad_rays_t if transposed else _pad_rays
+    feats, b, nb = pad_fn(feats, bt)
+    shadow_feats, _, _ = pad_fn(shadow_feats, bt)
     t_pad, tt, nt = _geometry(tri_feats16)
     assert nt == 1, "in-kernel attr emission is single-tile only"
     g_ops = plan.g_operands(tri_feats16)
@@ -1272,9 +1318,14 @@ def _flash_nearest_shadow_attrs(
     )(feats, shadow_feats, *g_ops, parts[0], parts[1], parts[2])
     nn = _n_near(plan)
     t1, i1, t2, i2 = _near_rows(plan, outs[:nn], b)
-    occ = outs[nn].reshape(-1)[:b] != 0
-    attrs = outs[nn + 1][:, :b].T
-    attrs2 = outs[nn + 2][:, :b].T if plan.top2 else None
+    if transposed:
+        occ = outs[nn].reshape(-1)[:b]  # raw i32
+        attrs = outs[nn + 1][:, :b]
+        attrs2 = outs[nn + 2][:, :b] if plan.top2 else None
+    else:
+        occ = outs[nn].reshape(-1)[:b] != 0
+        attrs = outs[nn + 1][:, :b].T
+        attrs2 = outs[nn + 2][:, :b].T if plan.top2 else None
     return t1, i1, occ, attrs, t2, i2, attrs2
 
 
@@ -1357,8 +1408,20 @@ def flash_occlude_packed(feats, tri_feats16, tile_aabbs, bt=DEF_BT,
     )
 
 
+def flash_occlude_packed_t(feats_t, tri_feats16, tile_aabbs, bt=DEF_BT,
+                           interpret=False, precision="auto"):
+    """Transposed-layout twin of flash_occlude_packed ([16, B] rows in,
+    raw i32 out)."""
+    precision = resolve_precision(precision, interpret)
+    return _flash_occlude_packed(
+        feats_t, tri_feats16, tile_aabbs, bt=bt, interpret=interpret,
+        precision=precision, transposed=True,
+    )
+
+
 @functools.partial(
-    jax.jit, static_argnames=("bt", "interpret", "precision", "resident")
+    jax.jit,
+    static_argnames=("bt", "interpret", "precision", "resident", "transposed"),
 )
 def _flash_occlude_packed(
     feats: jnp.ndarray,
@@ -1368,9 +1431,10 @@ def _flash_occlude_packed(
     interpret: bool,
     precision: str,
     resident: bool = False,
+    transposed: bool = False,
 ):
     plan = _plan_for(precision, "any")
-    feats, b, nb = _pad_rays(feats, bt)
+    feats, b, nb = (_pad_rays_t if transposed else _pad_rays)(feats, bt)
     t_pad, tt, nt = _geometry(tri_feats16)
     g_ops = plan.g_operands(tri_feats16)
     if resident and nt > 1:

@@ -368,15 +368,11 @@ def bounce_pre(
 
     # ---- deferred sky payoff (final bounce only) ---------------------------
     # Missed lanes' ro/rd/throughput are frozen at miss time, so one
-    # evaluation here serves every bounce's escapees. The cond skips the
-    # march entirely in closed scenes (e.g. the furnace).
+    # evaluation here serves every bounce's escapees.
     if bounce == cfg.max_bounces - 1:
-        sky = jax.lax.cond(
-            jnp.any(missed),
-            lambda: sky_radiance(scene, cfg.has_skybox, cam.sun_direction, ro, rd),
-            lambda: jnp.zeros_like(ro),
+        radiance = radiance + deferred_sky_term(
+            scene, cfg, cam, ro, rd, throughput, missed
         )
-        radiance = radiance + jnp.where(missed[..., None], throughput * sky, 0.0)
 
     st = TraceState(
         ro=ro,
@@ -389,6 +385,66 @@ def bounce_pre(
         mis=mis_carry,
     )
     return st, nee_pack
+
+
+# Compact-sky geometry: lanes group into segments of _SKY_SEG; the
+# march runs on the _SKY_SEGS_K segments that contain misses (whole-
+# segment gather/scatter — per-LANE top_k over the full batch measured
+# ~20 ms at 3.7M lanes, slower than the march it replaced; per-SEGMENT
+# top_k is over batch/512 elements). Above _SKY_SEGS_K miss-carrying
+# segments the full-batch march runs instead (real sky visible — the
+# march is genuine work there).
+_SKY_SEG = 512
+_SKY_SEGS_K = 512
+
+
+def deferred_sky_term(scene, cfg, cam, ro, rd, throughput, missed):
+    """The deferred-sky radiance term, [B, 3].
+
+    Enclosed scenes still produce a few missed lanes per megabatch
+    (seam leaks; winners the exact re-test rejects), and a lax.cond on
+    jnp.any(missed) then runs the FULL 12-step atmosphere march for a
+    handful of lanes — measured 23.8 ms per last-bounce dispatch at
+    3.7M lanes on v5e with 835 lanes missed (the cond itself is free
+    when the predicate is false). Fix: segment-level compaction — march
+    only the segments that contain misses (up to 1/14 of the batch),
+    equal to the full march up to float rounding (the march is
+    elementwise in the lane)."""
+    batch = ro.shape[0]
+
+    def full_march():
+        sky = sky_radiance(scene, cfg.has_skybox, cam.sun_direction, ro, rd)
+        return jnp.where(missed[:, None], throughput * sky, 0.0)
+
+    n_segs = batch // _SKY_SEG
+    if batch < 2 * _SKY_SEG * _SKY_SEGS_K or batch % _SKY_SEG:
+        # small batches (CI tiles, probes): the march is cheap; keep
+        # the single cond
+        return jax.lax.cond(
+            jnp.any(missed), full_march, lambda: jnp.zeros_like(ro)
+        )
+    seg_miss = missed.reshape(n_segs, _SKY_SEG)
+    seg_any = jnp.any(seg_miss, axis=1)
+    flag, seg_idx = jax.lax.top_k(
+        seg_any.astype(jnp.float32), _SKY_SEGS_K
+    )
+
+    def compact_march():
+        g = lambda a: a.reshape(n_segs, _SKY_SEG, 3)[seg_idx].reshape(-1, 3)
+        sky = sky_radiance(scene, cfg.has_skybox, cam.sun_direction,
+                           g(ro), g(rd))
+        m = seg_miss[seg_idx].reshape(-1) & jnp.repeat(
+            flag > 0.0, _SKY_SEG
+        )
+        contrib = jnp.where(m[:, None], g(throughput) * sky, 0.0)
+        out = jnp.zeros((n_segs, _SKY_SEG, 3), ro.dtype)
+        out = out.at[seg_idx].set(
+            contrib.reshape(_SKY_SEGS_K, _SKY_SEG, 3)
+        )
+        return out.reshape(batch, 3)
+
+    n_seg_missed = jnp.sum(seg_any.astype(jnp.int32))
+    return jax.lax.cond(n_seg_missed > _SKY_SEGS_K, full_march, compact_march)
 
 
 def bounce_post(st: TraceState, nee_pack: NEEPack, occluded) -> TraceState:

@@ -52,7 +52,11 @@ from rustic_tpu.ops.flash_intersect import (
 # 256x144x8spp: PBRTest 1.60 -> 2.47 Mpaths/s, FurnaceTest
 # 1.12 -> 3.16. Set RUSTIC_SORT_PATHS=0 to disable.
 _SORT_PATHS = os.environ.get("RUSTIC_SORT_PATHS", "1") == "1"
-from rustic_tpu.ops.flash_intersect import near_edge_margin, resolve_precision
+from rustic_tpu.ops.flash_intersect import (
+    _plan_for,
+    near_edge_margin,
+    resolve_precision,
+)
 from rustic_tpu.ops.intersect import (
     _ray_features16,
     classify_flash_hit,
@@ -800,6 +804,17 @@ def render_batch_staged(
             scene, cfg, cam, px, py, offsets, sample_start, n_samples,
             film, bt, interpret, prec, mesh=mesh,
         )
+    if mesh is None and not multi_tile and os.environ.get(
+        "RUSTIC_SHADE_KERNEL", "1"
+    ) == "1":
+        from rustic_tpu.ops import shade_kernel as SK
+
+        plan = _plan_for(prec, "near")
+        if SK.supported(scene, cfg, plan.top2, px.shape[0]):
+            return _render_batch_kernelshade(
+                scene, cfg, cam, px, py, offsets, sample_start, n_samples,
+                film, bt, interpret, prec,
+            )
     fold = 1 if mesh is not None else pick_sample_fold(px.shape[0], n_samples)
     tiled = _tile_inputs((px, py, offsets), fold)
     # Single-tile scenes with a bit-exact attr split get the winner's
@@ -886,6 +901,137 @@ def _flush_held(held, film, g16, scene, K):
         K.occlude_packed(pending_shadow, g16, scene.tile_aabbs) != 0
     )
     return finish(rad, prev_nee, final_occ, film)
+
+
+@functools.lru_cache(maxsize=16)
+def _stages_kernelshade(cfg: StaticConfig, fold: int = 1):
+    """init/finish XLA stages for the Mosaic-shade driver
+    (_render_batch_kernelshade): the per-bounce shading runs entirely in
+    ops/shade_kernel.py, so only ray/state setup and the film fold are
+    XLA programs. State crosses bounces packed as [NST, B] rows."""
+    from rustic_tpu.ops import shade_kernel as SK
+    from rustic_tpu.ops.sampling import cross
+
+    @jax.jit
+    def initk(cam, px, py, sample_idx, offsets):
+        lanes = px.shape[0]
+        sidx = jnp.broadcast_to(
+            _fold_sample_idx(sample_idx, lanes, fold), (lanes,)
+        ).astype(jnp.uint32)
+        ro, rd = trace_mod.camera_rays(cfg, cam, px, py, sidx, offsets)
+        st = SK.init_state_packed(lanes)
+        featsT = jnp.concatenate(
+            [
+                rd.T, cross(ro, rd).T, ro.T,
+                jnp.ones((1, lanes), jnp.float32),
+                jnp.zeros((6, lanes), jnp.float32),
+            ],
+            axis=0,
+        )
+        params = jnp.concatenate(
+            [cam.sun_direction, cam.specular_weight_clamp,
+             jnp.zeros(2, jnp.float32)]
+        ).reshape(1, 8)
+        return st, featsT, sidx, params
+
+    @jax.jit
+    def finishk(st, occ, film):
+        rad = st[3:6]
+        if occ is not None:
+            pend = st[15:18]
+            finite = jnp.all(jnp.isfinite(pend), axis=0)
+            lit = (st[SK.SK_PEND_ELIG] > 0.5) & (occ == 0) & finite
+            rad = rad + jnp.where(lit[None, :], pend, 0.0)
+        if fold > 1:
+            rad = rad.reshape(3, fold, -1).sum(axis=1)
+        return film + rad.T
+
+    return initk, finishk
+
+
+def _render_batch_kernelshade(
+    scene, cfg, cam, px, py, offsets, sample_start, n_samples, film,
+    bt, interpret, prec,
+):
+    """Single-tile staged driver with the shading stage as ONE Mosaic
+    kernel per bounce (ops/shade_kernel.py): per bounce exactly two
+    device programs run — the flash intersection kernel and the shade
+    kernel — chained through transposed row operands with no XLA glue
+    and no relayouts. Keeps the unsorted driver's sample folding and
+    held-group trick."""
+    from rustic_tpu.ops import shade_kernel as SK
+    from rustic_tpu.ops.flash_intersect import (
+        flash_nearest_attrs_t,
+        flash_nearest_shadow_attrs_t,
+        flash_occlude_packed_t,
+    )
+
+    g16 = scene.tri_feats16
+    kattrs = scene.tri_attrs_split
+    fold = pick_sample_fold(px.shape[0], n_samples)
+    tiled = _tile_inputs((px, py, offsets), fold)
+    margin = near_edge_margin(prec)
+    n_alias = (
+        scene.n_alias_entries
+        if cfg.nee.uses_nee and scene.has_lights
+        else 0
+    )
+    kw = dict(bt=bt, interpret=interpret, precision=prec)
+    skw = dict(
+        has_glass=scene.has_glass, n_alias=n_alias, edge_margin=margin,
+        interpret=interpret,
+    )
+
+    def flush_held(held, film):
+        st_h, sh_h, fin_h = held
+        occ = flash_occlude_packed_t(sh_h, g16, scene.tile_aabbs, **kw)
+        return fin_h(st_h, occ, film)
+
+    held = None  # (st, shadow_featsT, finishk) awaiting occlusion
+    for k in range(0, n_samples, fold):
+        g = min(fold, n_samples - k)
+        initk, finishk = _stages_kernelshade(cfg, fold=g)
+        pxg, pyg, offg = (
+            tiled if g == fold else _tile_inputs((px, py, offsets), g)
+        )
+        if held is not None and held[1].shape[1] != pxg.shape[0]:
+            film = flush_held(held, film)
+            held = None
+        st, featsT, sidx, params = initk(
+            cam, pxg, pyg, jnp.uint32(sample_start + k), offg
+        )
+        offg_u = jnp.asarray(offg, jnp.uint32)
+        pending_sh = held[1] if held is not None else None
+        for bounce in range(cfg.max_bounces):
+            if pending_sh is None:
+                t, i, attrsT, t2, i2, _a2 = flash_nearest_attrs_t(
+                    featsT, g16, scene.tile_aabbs, kattrs, **kw
+                )
+                occ = None
+            else:
+                t, i, occ, attrsT, t2, i2, _a2 = flash_nearest_shadow_attrs_t(
+                    featsT, pending_sh, g16, scene.tile_aabbs, kattrs, **kw
+                )
+            assert t2 is None, "top-2 plans use the XLA shade stage"
+            if bounce == 0 and held is not None:
+                st_h, _sh, fin_h = held
+                film = fin_h(st_h, occ, film)
+                held = None
+                occ = None
+            st, nfT, sfT = SK.shade_bounce(
+                cfg, bounce, params, scene.entry_rows, st, featsT, t, i,
+                attrsT, occ, sidx, offg_u, **skw,
+            )
+            featsT = nfT
+            pending_sh = sfT
+        if pending_sh is not None:
+            held = (st, pending_sh, finishk)
+        else:
+            film = finishk(st, None, film)
+        _throttle(film, k // fold)
+    if held is not None:
+        film = flush_held(held, film)
+    return film
 
 
 def _flush_held_rs(held, film, g16, scene, K):

@@ -50,3 +50,60 @@ def test_image_sky_equirect_poles():
     # v = 1 - (0.5 + asin(y)/pi): up -> v=0, down -> v=1
     assert np.asarray(image_sky(img, sun, up))[0, 0] > 0.5
     assert np.asarray(image_sky(img, sun, down))[0, 0] < 0.5
+
+
+def test_deferred_sky_compact_matches_full():
+    """The compact (top_k) deferred-sky path must equal the full-batch
+    march bit-for-bit: the march is elementwise in the lane, so
+    gather -> march -> scatter-add reproduces the masked full result
+    exactly (ops/trace.py deferred_sky_term)."""
+    from types import SimpleNamespace
+
+    import jax
+
+    from rustic_tpu.ops import trace as trace_mod
+    from rustic_tpu.ops.skybox import sky_radiance
+
+    batch = 2 * trace_mod._SKY_SEG * trace_mod._SKY_SEGS_K  # compact path
+    rng = np.random.default_rng(7)
+    rd = rng.normal(size=(batch, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    ro = rng.normal(scale=2.0, size=(batch, 3)).astype(np.float32)
+    throughput = rng.random((batch, 3), dtype=np.float32)
+    missed = np.zeros(batch, bool)
+    missed[rng.choice(batch, size=137, replace=False)] = True
+
+    scene = SimpleNamespace(skybox=None)
+    cfg = SimpleNamespace(has_skybox=False, max_bounces=4)
+    cam = SimpleNamespace(
+        sun_direction=jnp.asarray([0.4, 0.8, 0.2, 15.0], jnp.float32)
+    )
+    args = (jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(throughput),
+            jnp.asarray(missed))
+    got = np.asarray(
+        jax.jit(
+            lambda ro, rd, tp, m: trace_mod.deferred_sky_term(
+                scene, cfg, cam, ro, rd, tp, m
+            )
+        )(*args)
+    )
+    sky = np.asarray(sky_radiance(scene, False, cam.sun_direction,
+                                  args[0], args[1]))
+    want = np.where(missed[:, None], throughput * sky, 0.0)
+    # not bit-equal: XLA contracts the march's FMAs differently for the
+    # gathered [K] shape than the full [B] one — float-rounding only
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    assert (got[~missed] == 0.0).all()
+
+    # overflow (more miss-carrying segments than the budget) must fall
+    # back to the full march
+    missed_many = np.zeros(batch, bool)
+    missed_many[:: trace_mod._SKY_SEG] = True  # one per segment > K segs
+    got2 = np.asarray(
+        trace_mod.deferred_sky_term(
+            scene, cfg, cam, args[0], args[1], args[2],
+            jnp.asarray(missed_many),
+        )
+    )
+    want2 = np.where(missed_many[:, None], throughput * sky, 0.0)
+    np.testing.assert_allclose(got2, want2, rtol=1e-4, atol=1e-5)
