@@ -144,15 +144,18 @@ def resolve_precision(precision: str, interpret: bool) -> str:
         return precision
     if interpret:
         return "f32"
-    # NOT mixed2 by default: it measured +6% (8.24 -> 8.75 Mpaths/s,
-    # 2026-08-19) but its margin-expanded u/v window admits edge hits
-    # the exact window rejects, and the barycentric clamp then *shades*
-    # them — measured +0.30-0.33% film energy on DarkCornell vs f32,
-    # flat in spp (a systematic bias, not noise; light-edge admits add
-    # emission). "mixed" keeps the nearest window exact-f32 and spends
-    # bf16x3 only on shadow any-hit, whose flips are unbiased
-    # visibility noise.
-    return os.environ.get("RUSTIC_FLASH_DOT", "mixed")
+    # mixed2 default since round 2: the split-role nearest dot saves a
+    # quarter of the scan passes (18 vs 24 single-pass-equivalents,
+    # measured +6% end-to-end), and its one real cost — the
+    # margin-expanded u/v window clamp-shading edge admits — scales
+    # linearly with the margin (tools/probe_margin.py, DarkCornell
+    # 64^2 x 256spp vs the f32 oracle: +0.334% film energy at 1e-3,
+    # +0.101% at 3e-4, +0.042% at 1e-4). At the 2e-4 default margin
+    # (4x the ~5e-5 split-dot noise floor, so true edge hits are not
+    # rejected) the bias is ~+0.07% — an order below the film-energy
+    # and furnace gates. "mixed" (exact-f32 nearest window) stays one
+    # env flip away.
+    return os.environ.get("RUSTIC_FLASH_DOT", "mixed2")
 
 
 def near_edge_margin(precision: str) -> float:
@@ -300,7 +303,7 @@ class _DotPlan:
         # at 1e-3 (see resolve_precision) — the bias scales ~linearly
         # with the margin while the noise floor is ~5e-5.
         split_near = precision in ("bf16x3", "mixed2", "near2")
-        margin = float(os.environ.get("RUSTIC_NEAR_MARGIN", "1e-3"))
+        margin = float(os.environ.get("RUSTIC_NEAR_MARGIN", "2e-4"))
         self.near_margin = margin if split_near else 0.0
         # split-window scans also raise the det floor: every window
         # quantity scales with d while the split-dot noise is absolute,

@@ -99,3 +99,18 @@ def test_kernelshade_glass_and_sky(tmp_path, monkeypatch):
     # microfacet sample; per-shape FMA contraction) — tolerance only
     np.testing.assert_allclose(kern, xla, rtol=2e-3, atol=2e-4)
     assert kern.mean() > 0.01  # the sky actually contributed
+
+
+def test_kernelshade_margin_path(cornell_scene, monkeypatch):
+    """The epsilon-expanded-window branch (mixed2's edge_margin) must
+    agree between the shade kernel's in-kernel re-test and the XLA
+    classify_flash_hit — forced on here since the CPU (f32) plan would
+    otherwise never exercise it."""
+    import rustic_tpu.runtime.pipeline as P
+
+    monkeypatch.setattr(
+        P, "near_edge_margin", lambda prec: 2e-4
+    )
+    config = TracingConfig(width=W_, height=H_, nee=NextEventEstimation.MIS)
+    xla, kern = _render_both(cornell_scene, config, 3, monkeypatch)
+    np.testing.assert_allclose(kern, xla, rtol=1e-4, atol=1e-5)
