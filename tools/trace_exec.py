@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--width", type=int, default=1280)
     ap.add_argument("--height", type=int, default=720)
     ap.add_argument("--outdir", default="/tmp/rustic_trace")
+    ap.add_argument("--inside", default="jit_pre",
+                    help="executable to break down at op level ('' = skip)")
     args = ap.parse_args()
 
     import jax
@@ -113,6 +115,27 @@ def main():
     print(f"{'executable':58s} {'total':>8s} {'n':>4s} {'mean':>8s}")
     for name, (tot, n) in rows[:25]:
         print(f"{name[:58]:58s} {tot:8.1f} {n:4d} {tot/n:8.2f}")
+
+    # op-level anatomy of one executable (--inside)
+    if args.inside:
+        spans = [
+            (e["ts"], e["ts"] + e["dur"])
+            for e in src
+            if e["name"].split("(")[0] == args.inside
+        ]
+        inner = defaultdict(lambda: [0.0, 0])
+        for e in op_events:
+            t = e["ts"]
+            if any(s <= t < en for s, en in spans):
+                meta = e.get("args", {}) or {}
+                line = meta.get("source", "") or meta.get("tf_op", "")
+                key = f'{e["name"].split("(")[0][:40]:40s} {line[-50:]}'
+                inner[key][0] += e.get("dur", 0) / 1e3
+                inner[key][1] += 1
+        n_spans = max(len(spans), 1)
+        print(f"\n-- ops inside {args.inside} (per dispatch, n={n_spans}) --")
+        for key, (tot, n) in sorted(inner.items(), key=lambda kv: -kv[1][0])[:30]:
+            print(f"{key} {tot/n_spans:8.3f} ms")
 
 
 if __name__ == "__main__":
