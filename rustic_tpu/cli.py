@@ -74,7 +74,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     r.add_argument(
         "--dot",
-        choices=["auto", "f32", "mixed", "mixed2", "bf16x3"],
+        choices=["auto", "f32", "f32p", "mixed", "mixed2", "bf16x3"],
         default="auto",
         help="flash-kernel dot precision (sets $RUSTIC_FLASH_DOT; "
         "see ops/flash_intersect.py for the error model)",

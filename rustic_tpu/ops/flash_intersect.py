@@ -144,18 +144,17 @@ def resolve_precision(precision: str, interpret: bool) -> str:
         return precision
     if interpret:
         return "f32"
-    # mixed2 default since round 2: the split-role nearest dot saves a
-    # quarter of the scan passes (18 vs 24 single-pass-equivalents,
-    # measured +6% end-to-end), and its one real cost — the
-    # margin-expanded u/v window clamp-shading edge admits — scales
-    # linearly with the margin (tools/probe_margin.py, DarkCornell
-    # 64^2 x 256spp vs the f32 oracle: +0.334% film energy at 1e-3,
-    # +0.101% at 3e-4, +0.042% at 1e-4). At the 2e-4 default margin
-    # (4x the ~5e-5 split-dot noise floor, so true edge hits are not
-    # rejected) the bias is ~+0.07% — an order below the film-energy
-    # and furnace gates. "mixed" (exact-f32 nearest window) stays one
-    # env flip away.
-    return os.environ.get("RUSTIC_FLASH_DOT", "mixed2")
+    # f32p default since round 2c: tools/mxu_floor.py measured the scan
+    # dots OUTPUT-bound (time flat in K; an f32 HIGHEST dot costs 2.75x
+    # one bf16 pass because its extra passes accumulate in-array,
+    # cheaper than a bf16-split's 3 separate output-materializing
+    # dots), so exact f32 HIGHEST dots on every role + the fast packed
+    # epilogue beat both split plans: measured interleaved at
+    # DarkCornell 1280x720x40spp warm — f32p 13.67 vs mixed2 13.48 vs
+    # mixed 13.48 Mpaths/s — while removing mixed2's +0.05% film-energy
+    # edge-admit bias and all margin/det-eps bookkeeping (film mean
+    # matches the f32 oracle). The split plans stay one env flip away.
+    return os.environ.get("RUSTIC_FLASH_DOT", "f32p")
 
 
 def near_edge_margin(precision: str) -> float:
@@ -285,6 +284,11 @@ class _DotPlan:
     nearest / any-hit scans consume them (see module docstring)."""
 
     def __init__(self, precision: str, exact: bool = None):
+        if precision == "f32p":
+            # f32 HIGHEST dots everywhere + the fast packed epilogue
+            # (see _plan_for). Exact dot, so no margins/det-eps raise.
+            precision = "f32"
+            exact = False if exact is None else exact
         self.precision = precision
         # "f32" is the oracle/debug mode: its scans keep the exact
         # division-based epilogue + dual min/argmin so flash == brute to
@@ -302,7 +306,7 @@ class _DotPlan:
         # clamp-shaded false-admit bias measured at +0.30% film energy
         # at 1e-3 (see resolve_precision) — the bias scales ~linearly
         # with the margin while the noise floor is ~5e-5.
-        split_near = precision in ("bf16x3", "mixed2", "near2")
+        split_near = precision in ("bf16x1", "bf16x3", "mixed2", "near2")
         margin = float(os.environ.get("RUSTIC_NEAR_MARGIN", "2e-4"))
         self.near_margin = margin if split_near else 0.0
         # split-window scans also raise the det floor: every window
@@ -328,6 +332,7 @@ class _DotPlan:
         # side of merged kernels.
         widths = {
             "f32": [4],
+            "bf16x1": [4],
             "bf16x3": [4, 4],
             "mixed": [4, 4, 4],
             "near2": [2, 2, 2],
@@ -341,6 +346,7 @@ class _DotPlan:
         # operand element sizes (f32 full / bf16 hi+lo), matching g_widths
         sizes = {
             "f32": [4],
+            "bf16x1": [2],
             "bf16x3": [2, 2],
             "mixed": [4, 2, 2],
             "near2": [4, 2, 2],
@@ -362,11 +368,18 @@ class _DotPlan:
         if self.precision == "f32":
             return (tri_feats16,)
         hi, lo = split_bf16(tri_feats16)
+        if self.precision == "bf16x1":
+            # EXPERIMENTAL speed-ceiling probe: one raw bf16 pass per
+            # role (~2^-9-relative dot noise — NOT production-safe
+            # without a repair pass; see PERFORMANCE.md round-2c).
+            return (hi,)
         if self.precision == "bf16x3":
             return (hi, lo)
         return (tri_feats16, hi, lo)
 
     def dot_near(self, f_t, g_blocks):
+        if self.precision == "bf16x1":
+            return _dotT_default(split_bf16_kernel(f_t)[0], g_blocks[0])
         if self.precision == "bf16x3":
             return _dotT_split3(f_t, g_blocks[0], g_blocks[1])
         return _dotT_f32(f_t, g_blocks[0])
@@ -374,6 +387,8 @@ class _DotPlan:
     def dot_any(self, f_t, g_blocks):
         if self.precision == "f32":
             return _dotT_f32(f_t, g_blocks[0])
+        if self.precision == "bf16x1":
+            return _dotT_default(split_bf16_kernel(f_t)[0], g_blocks[0])
         return _dotT_split3(f_t, g_blocks[-2], g_blocks[-1])
 
     def near_scalars(self, f_t, g_blocks, tt):
@@ -1010,6 +1025,14 @@ def _plan_for(precision: str, role: str) -> _DotPlan:
             precision = "near2"
         elif role == "any":
             precision = "bf16x3"
+    elif precision == "f32p":
+        # exact f32 HIGHEST dots on EVERY role with the fast packed
+        # epilogue. Candidate default per tools/mxu_floor.py: the scan
+        # dots are OUTPUT-bound, so HIGHEST's extra MXU passes
+        # accumulate in-array at ~2.8x a single bf16 pass — cheaper
+        # than the 3 separate output-materializing dots of a bf16x3
+        # split, with none of the margin/bias bookkeeping.
+        precision = "f32"
     return _DotPlan(precision, exact=exact)
 
 

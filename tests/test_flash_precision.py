@@ -503,3 +503,64 @@ def test_use_resident_gates():
     big_cols = 4 * 512 * (RESIDENT_VMEM_BUDGET // (16 * 512 * 4) + 8)
     g_big = jnp.zeros((16, big_cols), jnp.float32)
     assert not use_resident("f32", g_big, "near")
+
+
+# ---------------------------------------------------------------------------
+# f32p: exact f32 HIGHEST dots on every role + fast packed epilogue
+# (the TPU default since round 2c — tools/mxu_floor.py measured the
+# scan dots output-bound, making HIGHEST cheaper than the bf16 splits)
+# ---------------------------------------------------------------------------
+
+
+def test_f32p_nearest_matches_f32_oracle(cornell):
+    """f32p's nearest dot is the same HIGHEST dot as the oracle; only
+    the epilogue differs (packed min vs exact division + dual argmin),
+    so t agrees to the packed reduction's 14-bit mantissa floor and
+    winners/hits agree everywhere (no margins, no raised det floor)."""
+    ro, rd = _rays(512, 33)
+    feats = _ray_features16(ro, rd)
+    t_f, idx_f, _, _ = flash_nearest(
+        feats, cornell.tri_feats16, cornell.tile_aabbs,
+        interpret=True, precision="f32",
+    )
+    t_p, idx_p, t2, i2 = flash_nearest(
+        feats, cornell.tri_feats16, cornell.tile_aabbs,
+        interpret=True, precision="f32p",
+    )
+    assert t2 is None and i2 is None
+    hit_f = np.asarray(t_f) < BIG
+    hit_p = np.asarray(t_p) < BIG
+    np.testing.assert_array_equal(hit_f, hit_p)
+    np.testing.assert_allclose(
+        np.asarray(t_p)[hit_p], np.asarray(t_f)[hit_f], rtol=1.3e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(idx_p)[hit_p], np.asarray(idx_f)[hit_f]
+    )
+
+
+def test_f32p_anyhit_matches_f32_oracle(cornell):
+    """f32p's any-hit dot is exact f32 (vs the split plans' bf16x3), so
+    occlusion agrees with the oracle bit-for-bit — no grazing flips."""
+    ro, rd = _rays(512, 34)
+    shadow = _ray_features16(ro, rd)
+    shadow = shadow.at[:, 10].set(2.0)
+    occ_f = np.asarray(
+        flash_occlude(
+            shadow, shadow[:, 10], cornell.tri_feats16, cornell.tile_aabbs,
+            interpret=True, precision="f32",
+        )
+    )
+    occ_p = np.asarray(
+        flash_occlude(
+            shadow, shadow[:, 10], cornell.tri_feats16, cornell.tile_aabbs,
+            interpret=True, precision="f32p",
+        )
+    )
+    np.testing.assert_array_equal(occ_f, occ_p)
+
+
+def test_f32p_no_margin():
+    from rustic_tpu.ops.flash_intersect import near_edge_margin
+
+    assert near_edge_margin("f32p") == 0.0
