@@ -808,9 +808,15 @@ def _build_kernel(cfg: StaticConfig, bounce: int, has_lights: bool,
 
 
 def pick_bs(batch: int) -> int:
-    """Largest lane-block size that divides the batch (128-multiples)."""
-    for bs in (8192, 4096, 2048, 1024, 512, 256, 128):
-        if batch % bs == 0:
+    """Largest lane-block size that divides the batch (128-multiples).
+    $RUSTIC_SHADE_BS caps/raises the preference order's head (probe knob;
+    per-process — the jit cache does not see env changes)."""
+    head = int(os.environ.get("RUSTIC_SHADE_BS", "8192"))
+    sizes = sorted(
+        {head, 8192, 4096, 2048, 1024, 512, 256, 128}, reverse=True
+    )
+    for bs in sizes:
+        if bs <= head and batch % bs == 0:
             return bs
     return 0
 
