@@ -85,6 +85,12 @@ def build_parser() -> argparse.ArgumentParser:
         default="auto",
     )
     r.add_argument("--sync-rate", type=int, default=32)
+    r.add_argument(
+        "--stats-json",
+        default="-",
+        help="write a structured per-render stats JSON line (throughput, "
+        "wall splits) to this path; '-' = stderr (default), '' = off",
+    )
     r.add_argument("--progressive", action="store_true")
     r.add_argument(
         "--interactive",
@@ -112,6 +118,15 @@ def build_parser() -> argparse.ArgumentParser:
     i = sub.add_parser("info", help="print scene statistics")
     i.add_argument("scene")
     return p
+
+
+def _backend_name() -> str:
+    try:
+        import jax
+
+        return jax.default_backend()
+    except Exception:
+        return "unknown"
 
 
 def _make_config(args) -> TracingConfig:
@@ -153,7 +168,8 @@ def cmd_render(args) -> int:
         tonemap=_TONEMAP[args.tonemap],
         engine=args.engine,
     )
-    print(f"[rustic_tpu] scene ready in {time.time() - t0:.2f}s", file=sys.stderr)
+    scene_build_s = time.time() - t0
+    print(f"[rustic_tpu] scene ready in {scene_build_s:.2f}s", file=sys.stderr)
 
     t0 = time.time()
     if args.interactive:
@@ -203,6 +219,42 @@ def cmd_render(args) -> int:
         f"({paths / dt / 1e6:.1f} Mpaths/s)",
         file=sys.stderr,
     )
+
+    # Structured observability (SURVEY §5): one JSON line per render with
+    # the throughput counters the viewer shows interactively. The
+    # reference's analog is its sample counter + frame time readout
+    # (src/app.rs:365-377); batch users get it machine-readable.
+    if args.stats_json:
+        import json
+
+        from rustic_tpu.utils.profiling import RenderStats
+
+        stats = RenderStats(
+            width=config.width,
+            height=config.height,
+            samples=args.spp,
+            max_bounces=config.max_bounces,
+            nee=config.nee != NextEventEstimation.NONE,
+            wall_s=dt,
+        )
+        line = json.dumps(
+            {
+                "scene": os.path.basename(args.scene),
+                "backend": _backend_name(),
+                "engine": args.engine,
+                "mpaths_per_s": round(stats.mpaths_per_s, 6),
+                "est_mrays_per_s": round(stats.est_mrays_per_s, 1),
+                "spp_per_s": round(stats.spp_per_s, 2),
+                "render_s": round(dt, 3),
+                "scene_build_s": round(scene_build_s, 3),
+                "film_mean": round(float(np.asarray(film).mean()), 6),
+            }
+        )
+        if args.stats_json == "-":
+            print(line, file=sys.stderr)
+        else:
+            with open(args.stats_json, "a") as fh:
+                fh.write(line + "\n")
 
     save_png(args.out, film, settings.tonemap)
     print(f"[rustic_tpu] wrote {args.out}", file=sys.stderr)

@@ -170,3 +170,31 @@ def test_cli_zero_sun_rejected():
                 "--spp", "1", "--size", "8x8", "--sun", "0,0,0",
             ]
         )
+
+
+def test_cli_stats_json_line(tmp_path):
+    """--stats-json writes one parseable observability record per render
+    (SURVEY §5 metrics/logging: throughput + wall splits, machine-readable)."""
+    import json
+
+    out_png = os.path.join(tmp_path, "out.png")
+    stats = os.path.join(tmp_path, "stats.jsonl")
+    rc = main(
+        [
+            "render",
+            scene_path("DarkCornell.glb"),
+            "--out", out_png,
+            "--spp", "2",
+            "--size", "24x16",
+            "--stats-json", stats,
+        ]
+    )
+    assert rc == 0
+    lines = [json.loads(l) for l in open(stats)]
+    assert len(lines) == 1
+    rec = lines[0]
+    assert rec["scene"] == "DarkCornell.glb"
+    assert rec["mpaths_per_s"] > 0
+    assert rec["spp_per_s"] > 0
+    assert rec["render_s"] > 0
+    assert np.isfinite(rec["film_mean"])
