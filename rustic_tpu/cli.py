@@ -179,6 +179,7 @@ def cmd_render(args) -> int:
         # scenes/skyboxes at runtime (drag-drop / 'o' / 'u')
         Viewer(scene, config, settings, world=world, skybox=sky).run()
         return 0
+    resumed = 0
     if args.progressive or args.checkpoint:
         from rustic_tpu.runtime.state import Checkpoint, TracingState
 
@@ -186,6 +187,7 @@ def cmd_render(args) -> int:
         if args.checkpoint:
             if os.path.exists(args.checkpoint):
                 state = Checkpoint.load(args.checkpoint).into_state(settings)
+                resumed = int(state.samples)
                 print(
                     f"[rustic_tpu] resumed at {state.samples} spp", file=sys.stderr
                 )
@@ -213,9 +215,13 @@ def cmd_render(args) -> int:
 
             film = denoise(film)
     dt = time.time() - t0
-    paths = config.width * config.height * args.spp
+    # Throughput counts only the samples actually rendered THIS run —
+    # a checkpoint resume otherwise inflates Mpaths/s by samples it
+    # never traced.
+    rendered = max(args.spp - resumed, 0)
+    paths = config.width * config.height * rendered
     print(
-        f"[rustic_tpu] rendered {args.spp} spp in {dt:.2f}s "
+        f"[rustic_tpu] rendered {rendered} spp in {dt:.2f}s "
         f"({paths / dt / 1e6:.1f} Mpaths/s)",
         file=sys.stderr,
     )
@@ -229,10 +235,12 @@ def cmd_render(args) -> int:
 
         from rustic_tpu.utils.profiling import RenderStats
 
+        from rustic_tpu.ops.intersect import _pick_engine
+
         stats = RenderStats(
             width=config.width,
             height=config.height,
-            samples=args.spp,
+            samples=rendered,
             max_bounces=config.max_bounces,
             nee=config.nee != NextEventEstimation.NONE,
             wall_s=dt,
@@ -241,7 +249,8 @@ def cmd_render(args) -> int:
             {
                 "scene": os.path.basename(args.scene),
                 "backend": _backend_name(),
-                "engine": args.engine,
+                "engine": _pick_engine(scene, args.engine),
+                "samples_resumed": resumed,
                 "mpaths_per_s": round(stats.mpaths_per_s, 6),
                 "est_mrays_per_s": round(stats.est_mrays_per_s, 1),
                 "spp_per_s": round(stats.spp_per_s, 2),

@@ -7,7 +7,7 @@ intermediates round-trip HBM; measured 28-31 ms per fold-4 dispatch at
 kernel streams lane blocks through VMEM exactly once.
 
 Layout rule (the lesson of the retired fused-bounce kernel,
-archive/fused-bounce): every per-lane scalar is a [R, 128] tile
+archive/fused_bounce/): every per-lane scalar is a [R, 128] tile
 (R = block_lanes/128) — full 8-sublane x 128-lane VPU utilization.
 Shaping per-lane data [bt, k] puts k = 3 on the 128-lane axis and
 wastes 125/128 of every vector op, which is where the fused kernel's

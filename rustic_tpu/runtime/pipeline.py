@@ -750,7 +750,7 @@ def _stages_sorted(cfg: StaticConfig, trust_kernel: bool = False,
 
 # The experimental fused mega-bounce kernel (one Mosaic kernel per
 # bounce: scan + sky march + BSDF + NEE) was retired to the
-# archive/fused-bounce branch after two rounds of measurement: 3.4x
+# in-repo archive/fused_bounce/ directory after two rounds of measurement: 3.4x
 # slower than these staged executables (Mosaic's scheduling of the
 # transcendental-heavy VPU shade tail; PERFORMANCE.md "Why the fused
 # kernel lost"), with no remaining path to a win short of a Mosaic
@@ -805,11 +805,6 @@ def prewarm_staged(scene, cfg: StaticConfig, cam, lanes: int,
     folds = {fold}
     if n_samples % fold:
         folds.add(n_samples % fold)
-    key = (cfg, lanes, tuple(sorted(folds)), prec)
-    if key in _PREWARMED:
-        return 0
-    _PREWARMED.add(key)
-
     g16 = scene.tri_feats16
     kattrs = scene.tri_attrs_split
     kw = dict(bt=bt, interpret=interpret, precision=prec)
@@ -818,6 +813,17 @@ def prewarm_staged(scene, cfg: StaticConfig, cam, lanes: int,
         if cfg.nee.uses_nee and scene.has_lights
         else 0
     )
+    # The key carries every scene-derived EXECUTABLE-SHAPE input, not
+    # just the config: a second scene in the same process with matching
+    # (cfg, lanes) but a different tile count / attr width / light table
+    # compiles different executables and must warm again.
+    key = (
+        cfg, lanes, tuple(sorted(folds)), prec, g16.shape, kattrs.shape,
+        kattrs.dtype.name, scene.entry_rows.shape, n_alias,
+        scene.has_glass,
+    )
+    if key in _PREWARMED:
+        return 0
     skw = dict(
         has_glass=scene.has_glass, n_alias=n_alias,
         edge_margin=near_edge_margin(prec), interpret=interpret,
@@ -845,8 +851,12 @@ def prewarm_staged(scene, cfg: StaticConfig, cam, lanes: int,
         def z(s):
             return jnp.zeros(s.shape, s.dtype)
 
-        lane_i32 = jnp.zeros((lanes,), jnp.int32)
-        lane_u32 = jnp.zeros((lanes,), jnp.uint32)
+        # initk's real operands are the driver's TILED (lanes * g,)
+        # arrays (px/py/offsets, _tile_inputs) — a (lanes,) dummy made
+        # _fold_sample_idx's broadcast raise whenever g did not divide
+        # lanes, and warmed a wrong-shape executable when it did.
+        lane_i32 = jnp.zeros((B,), jnp.int32)
+        lane_u32 = jnp.zeros((B,), jnp.uint32)
         params = jnp.zeros((1, 8), jnp.float32)
         tasks.append(
             lambda initk=initk, a=lane_i32, b=lane_u32: initk(
@@ -896,6 +906,10 @@ def prewarm_staged(scene, cfg: StaticConfig, cam, lanes: int,
         futs = [pool.submit(t) for t in tasks]
         for f in futs:
             f.result()  # surface tracing errors; device work stays queued
+    # Mark the shape class warmed only once every task succeeded: a
+    # raised task (or interrupted pool) must not make later calls in
+    # this process silently skip warming.
+    _PREWARMED.add(key)
     return len(tasks)
 
 

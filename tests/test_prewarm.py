@@ -57,6 +57,42 @@ def test_prewarm_remainder_fold_adds_a_shape_class(cornell, monkeypatch):
     assert n == 18
 
 
+def test_prewarm_fold_not_dividing_lanes(cornell, monkeypatch):
+    """Regression (round-3 advisor): init dummies must be shaped like the
+    driver's TILED (lanes * g,) operands. A (lanes,) dummy made
+    _fold_sample_idx's broadcast raise for any fold that does not divide
+    lanes (e.g. fold 3 at 1024 lanes) and warmed a wrong-shape init
+    executable for folds that do."""
+    config = TracingConfig(width=32, height=32, nee=NextEventEstimation.MIS)
+    cfg = config.static_part()
+    cam = config.dynamic_part()
+    _PREWARMED.clear()
+    monkeypatch.setenv("RUSTIC_SAMPLE_FOLD", "3")
+    n = prewarm_staged(
+        cornell, cfg, cam, lanes=1024, n_samples=3, force_interpret=True
+    )
+    assert n == 9
+
+
+def test_prewarm_key_distinguishes_scenes(cornell, monkeypatch):
+    """Regression (round-3 advisor): a second scene with matching config
+    but different executable shapes must warm its own stage set."""
+    config = TracingConfig(width=32, height=32, nee=NextEventEstimation.MIS)
+    cfg = config.static_part()
+    cam = config.dynamic_part()
+    _PREWARMED.clear()
+    n1 = prewarm_staged(
+        cornell, cfg, cam, lanes=1024, n_samples=2, force_interpret=True
+    )
+    assert n1 > 0
+    other = World.from_path(scene_path("FurnaceTest.glb")).to_device()
+    if other.tri_attrs_split is not None:  # multi-tile scenes skip anyway
+        n2 = prewarm_staged(
+            other, cfg, cam, lanes=1024, n_samples=2, force_interpret=True
+        )
+        assert n2 > 0
+
+
 def test_prewarm_skips_cpu_backend_without_override(cornell):
     config = TracingConfig(width=32, height=32, nee=NextEventEstimation.MIS)
     _PREWARMED.clear()
