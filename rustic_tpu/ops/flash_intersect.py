@@ -144,17 +144,19 @@ def resolve_precision(precision: str, interpret: bool) -> str:
         return precision
     if interpret:
         return "f32"
-    # f32p default since round 2c: tools/mxu_floor.py measured the scan
-    # dots OUTPUT-bound (time flat in K; an f32 HIGHEST dot costs 2.75x
-    # one bf16 pass because its extra passes accumulate in-array,
-    # cheaper than a bf16-split's 3 separate output-materializing
-    # dots), so exact f32 HIGHEST dots on every role + the fast packed
-    # epilogue beat both split plans: measured interleaved at
-    # DarkCornell 1280x720x40spp warm — f32p 13.67 vs mixed2 13.48 vs
-    # mixed 13.48 Mpaths/s — while removing mixed2's +0.05% film-energy
-    # edge-admit bias and all margin/det-eps bookkeeping (film mean
-    # matches the f32 oracle). The split plans stay one env flip away.
-    return os.environ.get("RUSTIC_FLASH_DOT", "f32p")
+    # "x6" default since round 3: the same flat-in-K measurement that
+    # made f32p the round-2c default (tools/mxu_floor.py: scan dots are
+    # OUTPUT-bound, f32 HIGHEST = 2.75x one bf16 pass) also means an
+    # f32-accuracy dot can ride the idle systolic depth as ONE bf16
+    # pass at K=96 — six exact bf16 cross terms of a 3-way split
+    # concatenated along the contraction dim (_prep_f_x6). Measured
+    # (tools/probe_k96.py): 1.00x a bf16 K=16 pass vs f32H's 2.78x,
+    # max rel error vs f64 3.96e-07 (f32H itself: 2.07e-07). End to
+    # end (tools/probe_x6_e2e.py, DarkCornell 1280x720x40spp warm
+    # interleaved best-of-3): x6 16.60 vs f32p 9.63 Mpaths/s, film
+    # mean equal to 6 decimals. No margins, no raised det floor; the
+    # older plans stay one env flip away.
+    return os.environ.get("RUSTIC_FLASH_DOT", "x6")
 
 
 def near_edge_margin(precision: str) -> float:
@@ -191,6 +193,55 @@ def split_bf16_kernel(a):
     hi = a.astype(jnp.bfloat16)
     lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo
+
+
+def split_bf16x3(a):
+    """f32 -> (hi, mid, lo) bf16 with hi + mid + lo == a exactly: each
+    residual carries 8 fresh mantissa bits, 3x8 covering f32's 24 (the
+    rounding rides reduce_precision — see split_bf16 — so XLA cannot
+    elide it). Sub-denormal lo parts flush to zero on TPU; their lost
+    contribution to a dot is ~2^-126, irrelevant at geometry scale."""
+    hi_f = jax.lax.reduce_precision(a, 8, 7)
+    r1 = a - hi_f
+    mid_f = jax.lax.reduce_precision(r1, 8, 7)
+    lo = (r1 - mid_f).astype(jnp.bfloat16)
+    return hi_f.astype(jnp.bfloat16), mid_f.astype(jnp.bfloat16), lo
+
+
+def _g_cat6(tri_feats16):
+    """G-side operand of the "x6" plan: [96, N] bf16 blocks
+    [hb mb lb hb mb hb] (pairing with the F-side [ha ha ha ma ma la]
+    gives the six kept cross terms — see _prep_f_x6)."""
+    hi, mid, lo = split_bf16x3(tri_feats16)
+    return jnp.concatenate([hi, mid, lo, hi, mid, hi], axis=0)
+
+
+def _prep_f_x6(f_t):
+    """In-kernel F-side prep of the "x6" plan: [16, BT] f32 ray features
+    -> [96, BT] bf16 blocks [ha ha ha ma ma la].
+
+    The "x6" dot is the round-3 algorithmic move: tools/mxu_floor.py
+    proved the scan dots OUTPUT-bound (time flat in K from 8 to 128,
+    f32 HIGHEST = 2.75x one bf16 pass), so an f32-accuracy dot can ride
+    the idle systolic depth as ONE bf16 pass at K=96. Each operand
+    splits into three bf16 parts (a == ha+ma+la exactly); the six cross
+    terms >= 2^-24 of the term scale concatenate along K:
+
+        a.b = ha.hb + ha.mb + ha.lb + ma.hb + ma.mb + la.hb  (kept)
+            + ma.lb + la.mb + la.lb                          (dropped)
+
+    Every kept bf16xbf16 product is exact in the f32 accumulator, so
+    the only error is the dropped tail + accumulation rounding.
+    Measured on v5e (tools/probe_k96.py): 0.558 ns/128out == 1.00x a
+    bf16 K=16 pass (f32 HIGHEST: 1.538 = 2.78x); max relative error vs
+    float64 on real DarkCornell MT features 3.96e-07 — within 2x of
+    f32 HIGHEST's own 2.07e-07. Mosaic's convert+subtract split is
+    faithful (no excess-precision pass; see split_bf16_kernel)."""
+    hi = f_t.astype(jnp.bfloat16)
+    r1 = f_t - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, hi, hi, mid, mid, lo], axis=0)
 
 
 def _epilogue(raw, tt, margin: float = 0.0, det_eps: float = DET_EPS):
@@ -313,7 +364,11 @@ class _DotPlan:
         # quantity scales with d while the split-dot noise is absolute,
         # so tiny-d pairs would otherwise drown in u/v noise
         self.near_det_eps = DET_EPS_SPLIT if split_near else DET_EPS
-        self.any_det_eps = DET_EPS if precision == "f32" else DET_EPS_SPLIT
+        # "x6" dot noise (~4e-7 of term scale, probe_k96.py) sits within
+        # 2x of f32 HIGHEST's own, so it keeps the exact-grade floor.
+        self.any_det_eps = (
+            DET_EPS if precision in ("f32", "x6") else DET_EPS_SPLIT
+        )
         # The bf16x3 nearest scan carries its TOP-2 candidates out of the
         # packed reduction: the consumer re-tests both in exact f32 and
         # keeps the nearest valid one (classify_flash_hit2), so a wrong
@@ -337,6 +392,7 @@ class _DotPlan:
             "mixed": [4, 4, 4],
             "near2": [2, 2, 2],
             "mixed2": [2, 2, 2, 2, 2],
+            "x6": [4],
         }
         if precision not in widths:
             raise ValueError(f"unknown flash dot precision: {precision!r}")
@@ -351,10 +407,24 @@ class _DotPlan:
             "mixed": [4, 2, 2],
             "near2": [4, 2, 2],
             "mixed2": [4, 2, 2, 2, 2],
+            "x6": [2],
         }
         self.g_itemsizes = sizes[precision]
+        # operand ROW counts (the contraction dim): 16 ray features,
+        # except the "x6" 6-cross-term concat at K=96 (see _prep_f_x6)
+        self.g_rows = [96 if precision == "x6" else 16] * self.ng
+
+    def prep_f(self, f_t):
+        """Per-kernel-invocation F-side dot-operand prep (identity for
+        every plan but "x6"). Kernel bodies call this ONCE and thread
+        the result to every tile's dot, so multi-tile/resident loops
+        never re-split; slab tests and SH_MAXT_COL reads keep using the
+        raw f32 rows."""
+        return _prep_f_x6(f_t) if self.precision == "x6" else f_t
 
     def g_operands(self, tri_feats16):
+        if self.precision == "x6":
+            return (_g_cat6(tri_feats16),)
         if self.precision in ("near2", "mixed2"):
             t_pad, tt, nt = _geometry(tri_feats16)
             g = tri_feats16.reshape(16, nt, 4, tt)
@@ -378,6 +448,11 @@ class _DotPlan:
         return (tri_feats16, hi, lo)
 
     def dot_near(self, f_t, g_blocks):
+        # f_t is the prep_f() output: raw [16, BT] f32 rows for every
+        # plan except "x6", whose prepped [96, BT] bf16 operand rides a
+        # single DEFAULT-precision pass (see _prep_f_x6).
+        if self.precision == "x6":
+            return _dotT_default(f_t, g_blocks[0])
         if self.precision == "bf16x1":
             return _dotT_default(split_bf16_kernel(f_t)[0], g_blocks[0])
         if self.precision == "bf16x3":
@@ -385,6 +460,8 @@ class _DotPlan:
         return _dotT_f32(f_t, g_blocks[0])
 
     def dot_any(self, f_t, g_blocks):
+        if self.precision == "x6":
+            return _dotT_default(f_t, g_blocks[0])
         if self.precision == "f32":
             return _dotT_f32(f_t, g_blocks[0])
         if self.precision == "bf16x1":
@@ -571,19 +648,20 @@ def _merge_top2(t1o, i1o, t2o, i2o, s1, b1, s2, b2):
     )
 
 
-def _tile_anyhit(plan, f_tile, g_blocks, tt):
+def _tile_anyhit(plan, f_raw, fd, g_blocks, tt):
     """Any valid hit within (EPS, max_t] (max_t from SH_MAXT_COL) -> [BT] i32.
 
     Pure numerator-domain: t <= max_t becomes ts <= max_t*d — the
-    any-hit scan does no division at all."""
+    any-hit scan does no division at all. `f_raw` is the [16, BT] f32
+    feature rows (max_t source); `fd` is plan.prep_f's dot operand."""
     if plan.exact:
         _, _, t, valid = _epilogue(
-            plan.dot_any(f_tile, g_blocks), tt, det_eps=plan.any_det_eps
+            plan.dot_any(fd, g_blocks), tt, det_eps=plan.any_det_eps
         )
-        hit = valid & (t <= f_tile[SH_MAXT_COL, :][:, None])
+        hit = valid & (t <= f_raw[SH_MAXT_COL, :][:, None])
         return jnp.any(hit, axis=1).astype(jnp.int32)
-    d, us, vs, ts = plan.any_scalars(f_tile, g_blocks, tt)
-    maxt = f_tile[SH_MAXT_COL, :][:, None]
+    d, us, vs, ts = plan.any_scalars(fd, g_blocks, tt)
+    maxt = f_raw[SH_MAXT_COL, :][:, None]
     # Same single-min-gate trick as _tile_minarg, with the det threshold
     # and the max_t window folded in; "any valid" then reduces as one
     # max over columns instead of compare+and+any per pair.
@@ -706,7 +784,7 @@ def _nearest_single_attrs(plan):
         near_refs = refs[4 + ng : 4 + ng + nn]
         attr_refs = refs[4 + ng + nn :]
         tt = g_blocks[0].shape[-1] // plan.g0_tts
-        _emit_near(plan, f_ref[...], g_blocks, tt, near_refs)
+        _emit_near(plan, plan.prep_f(f_ref[...]), g_blocks, tt, near_refs)
         attr_refs[0][...] = _winner_attrs(near_refs[1][0, :], parts, tt)
         if plan.top2:
             attr_refs[1][...] = _winner_attrs(near_refs[3][0, :], parts, tt)
@@ -726,8 +804,9 @@ def _nearest_shadow_single_attrs(plan):
         occ_ref = refs[5 + ng + nn]
         attr_refs = refs[6 + ng + nn :]
         tt = g_blocks[0].shape[-1] // plan.g0_tts
-        _emit_near(plan, f_ref[...], g_blocks, tt, near_refs)
-        occ_ref[0, :] = _tile_anyhit(plan, sh_ref[...], g_blocks, tt)
+        _emit_near(plan, plan.prep_f(f_ref[...]), g_blocks, tt, near_refs)
+        sh = sh_ref[...]
+        occ_ref[0, :] = _tile_anyhit(plan, sh, plan.prep_f(sh), g_blocks, tt)
         attr_refs[0][...] = _winner_attrs(near_refs[1][0, :], parts, tt)
         if plan.top2:
             attr_refs[1][...] = _winner_attrs(near_refs[3][0, :], parts, tt)
@@ -743,7 +822,7 @@ def _nearest_single(plan):
         g_blocks = tuple(r[...] for r in refs[1 : 1 + ng])
         near_refs = refs[1 + ng :]
         tt = g_blocks[0].shape[-1] // plan.g0_tts
-        _emit_near(plan, f_ref[...], g_blocks, tt, near_refs)
+        _emit_near(plan, plan.prep_f(f_ref[...]), g_blocks, tt, near_refs)
 
     return kernel
 
@@ -769,7 +848,7 @@ def _nearest_multi(plan):
         @pl.when(_tile_possible(f, aabb_row, _cull_limit(plan, near_refs)))
         def _():
             g_blocks = tuple(r[...] for r in g_refs)
-            _merge_near(plan, f, g_blocks, tt, j, near_refs)
+            _merge_near(plan, plan.prep_f(f), g_blocks, tt, j, near_refs)
 
     return kernel
 
@@ -800,12 +879,13 @@ def _nearest_resident(plan, nt):
         tt = g_refs[0].shape[-1] // nt // plan.g0_tts
         _init_near(near_refs)
         f = f_ref[...]
+        fd = plan.prep_f(f)
         for j in range(nt):
             aabb_row = aabb_ref[j, :]
 
             @pl.when(_tile_possible(f, aabb_row, _cull_limit(plan, near_refs)))
             def _(j=j):
-                _merge_near(plan, f, _g_tile(g_refs, nt, j), tt, j, near_refs)
+                _merge_near(plan, fd, _g_tile(g_refs, nt, j), tt, j, near_refs)
 
     return kernel
 
@@ -825,17 +905,19 @@ def _nearest_shadow_resident(plan, nt):
         occ_ref[...] = jnp.zeros_like(occ_ref)
         f = f_ref[...]
         sh = sh_ref[...]
+        fd = plan.prep_f(f)
+        shd = plan.prep_f(sh)
         for j in range(nt):
             aabb_row = aabb_ref[j, :]
 
             @pl.when(_tile_possible(f, aabb_row, _cull_limit(plan, near_refs)))
             def _(j=j):
-                _merge_near(plan, f, _g_tile(g_refs, nt, j), tt, j, near_refs)
+                _merge_near(plan, fd, _g_tile(g_refs, nt, j), tt, j, near_refs)
 
             @pl.when(_tile_possible(sh, aabb_row, sh[SH_MAXT_COL, :]))
             def _(j=j):
                 occ_ref[0, :] = occ_ref[0, :] | _tile_anyhit(
-                    plan, sh, _g_tile(g_refs, nt, j), tt
+                    plan, sh, shd, _g_tile(g_refs, nt, j), tt
                 )
 
     return kernel
@@ -852,13 +934,14 @@ def _occlude_resident(plan, nt):
         tt = g_refs[0].shape[-1] // nt // plan.g0_tts
         occ_ref[...] = jnp.zeros_like(occ_ref)
         f = f_ref[...]
+        fd = plan.prep_f(f)
         for j in range(nt):
             aabb_row = aabb_ref[j, :]
 
             @pl.when(_tile_possible(f, aabb_row, f[SH_MAXT_COL, :]))
             def _(j=j):
                 occ_ref[0, :] = occ_ref[0, :] | _tile_anyhit(
-                    plan, f, _g_tile(g_refs, nt, j), tt
+                    plan, f, fd, _g_tile(g_refs, nt, j), tt
                 )
 
     return kernel
@@ -874,8 +957,9 @@ def _nearest_shadow_single(plan):
         near_refs = refs[2 + ng : 2 + ng + nn]
         occ_ref = refs[2 + ng + nn]
         tt = g_blocks[0].shape[-1] // plan.g0_tts
-        _emit_near(plan, f_ref[...], g_blocks, tt, near_refs)
-        occ_ref[0, :] = _tile_anyhit(plan, sh_ref[...], g_blocks, tt)
+        _emit_near(plan, plan.prep_f(f_ref[...]), g_blocks, tt, near_refs)
+        sh = sh_ref[...]
+        occ_ref[0, :] = _tile_anyhit(plan, sh, plan.prep_f(sh), g_blocks, tt)
 
     return kernel
 
@@ -905,12 +989,14 @@ def _nearest_shadow_multi(plan):
         @pl.when(_tile_possible(f, aabb_row, _cull_limit(plan, near_refs)))
         def _():
             g_blocks = tuple(r[...] for r in g_refs)
-            _merge_near(plan, f, g_blocks, tt, j, near_refs)
+            _merge_near(plan, plan.prep_f(f), g_blocks, tt, j, near_refs)
 
         @pl.when(_tile_possible(sh, aabb_row, sh[SH_MAXT_COL, :]))
         def _():
             g_blocks = tuple(r[...] for r in g_refs)
-            occ_ref[0, :] = occ_ref[0, :] | _tile_anyhit(plan, sh, g_blocks, tt)
+            occ_ref[0, :] = occ_ref[0, :] | _tile_anyhit(
+                plan, sh, plan.prep_f(sh), g_blocks, tt
+            )
 
     return kernel
 
@@ -923,7 +1009,8 @@ def _occlude_single(plan):
         g_blocks = tuple(r[...] for r in refs[1 : 1 + ng])
         occ_ref = refs[1 + ng]
         tt = g_blocks[0].shape[-1] // plan.g0_tts
-        occ_ref[0, :] = _tile_anyhit(plan, f_ref[...], g_blocks, tt)
+        f = f_ref[...]
+        occ_ref[0, :] = _tile_anyhit(plan, f, plan.prep_f(f), g_blocks, tt)
 
     return kernel
 
@@ -949,7 +1036,9 @@ def _occlude_multi(plan):
         @pl.when(_tile_possible(f, aabb_row, f[SH_MAXT_COL, :]))
         def _():
             g_blocks = tuple(r[...] for r in g_refs)
-            occ_ref[0, :] = occ_ref[0, :] | _tile_anyhit(plan, f, g_blocks, tt)
+            occ_ref[0, :] = occ_ref[0, :] | _tile_anyhit(
+                plan, f, plan.prep_f(f), g_blocks, tt
+            )
 
     return kernel
 
@@ -1027,19 +1116,22 @@ def _plan_for(precision: str, role: str) -> _DotPlan:
             precision = "bf16x3"
     elif precision == "f32p":
         # exact f32 HIGHEST dots on EVERY role with the fast packed
-        # epilogue. Candidate default per tools/mxu_floor.py: the scan
-        # dots are OUTPUT-bound, so HIGHEST's extra MXU passes
+        # epilogue. Was the round-2c default per tools/mxu_floor.py:
+        # the scan dots are OUTPUT-bound, so HIGHEST's extra MXU passes
         # accumulate in-array at ~2.8x a single bf16 pass — cheaper
         # than the 3 separate output-materializing dots of a bf16x3
         # split, with none of the margin/bias bookkeeping.
         precision = "f32"
+    # "x6" needs no role collapse: its single K=96 bf16 operand serves
+    # the nearest and any-hit scans alike at f32-class accuracy
+    # (_prep_f_x6), so every role runs the same plan.
     return _DotPlan(precision, exact=exact)
 
 
 def _g_specs(plan, tt):
     return [
-        pl.BlockSpec((16, w * tt), lambda i, j: (0, j), memory_space=pltpu.VMEM)
-        for w in plan.g_widths
+        pl.BlockSpec((r, w * tt), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+        for r, w in zip(plan.g_rows, plan.g_widths)
     ]
 
 
@@ -1070,8 +1162,9 @@ def use_resident(precision: str, tri_feats16, role: str = "near") -> bool:
         os.environ.get("RUSTIC_RESIDENT_MAX", RESIDENT_MAX_TILES)
     ):
         return False
-    g_bytes = 16 * t_pad * sum(
-        w * s for w, s in zip(plan.g_widths, plan.g_itemsizes)
+    g_bytes = t_pad * sum(
+        r * w * s
+        for r, w, s in zip(plan.g_rows, plan.g_widths, plan.g_itemsizes)
     )
     return g_bytes <= RESIDENT_VMEM_BUDGET
 
@@ -1079,9 +1172,9 @@ def use_resident(precision: str, tri_feats16, role: str = "near") -> bool:
 def _g_specs_full(plan, tt, nt):
     return [
         pl.BlockSpec(
-            (16, w * tt * nt), lambda i: (0, 0), memory_space=pltpu.VMEM
+            (r, w * tt * nt), lambda i: (0, 0), memory_space=pltpu.VMEM
         )
-        for w in plan.g_widths
+        for r, w in zip(plan.g_rows, plan.g_widths)
     ]
 
 

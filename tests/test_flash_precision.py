@@ -450,7 +450,7 @@ def test_resident_nearest_matches_streamed(furnace_scene, monkeypatch):
     sh_ro, sh_rd = _rays(n, 32)
     shadow = _ray_features16(sh_ro, sh_rd).at[:, 10].set(2.0)
 
-    for prec in ("f32", "mixed", "mixed2", "bf16x3"):
+    for prec in ("f32", "mixed", "mixed2", "bf16x3", "x6"):
         a = _flash_nearest(
             feats, scene.tri_feats16, scene.tile_aabbs, bt=256,
             interpret=True, precision=prec, resident=False,
@@ -564,3 +564,113 @@ def test_f32p_no_margin():
     from rustic_tpu.ops.flash_intersect import near_edge_margin
 
     assert near_edge_margin("f32p") == 0.0
+
+
+# ---------------------------------------------------------------------------
+# x6: emulated-f32 dot as ONE bf16 pass at K=96 (six exact bf16 cross
+# terms of a 3-way split concatenated along the contraction dim — see
+# flash_intersect._prep_f_x6 and tools/probe_k96.py). f32-class
+# accuracy (~4e-7 of term scale vs HIGHEST's ~2e-7) at ~1.0x a bf16
+# pass instead of HIGHEST's measured 2.78x.
+# ---------------------------------------------------------------------------
+
+
+def test_split_bf16x3_reconstructs_f32_exactly():
+    from rustic_tpu.ops.flash_intersect import split_bf16x3
+
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(
+        (rng.normal(0, 10, (64, 16)) * 10.0 ** rng.integers(-6, 6, (64, 16)))
+        .astype(np.float32)
+    )
+    hi, mid, lo = split_bf16x3(a)
+    back = (
+        hi.astype(jnp.float32) + mid.astype(jnp.float32)
+    ) + lo.astype(jnp.float32)
+    # 3x8 mantissa bits cover f32's 24: exact reconstruction
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(a))
+
+
+def test_x6_nearest_matches_f32_oracle(cornell):
+    """x6's ~4e-7 dot noise is far below any geometric feature of a
+    non-degenerate scene: hits, winners, and t (to the packed 14-bit
+    floor) must match the f32 oracle on random rays, with at most
+    measure-zero boundary flips."""
+    ro, rd = _rays(512, 40)
+    feats = _ray_features16(ro, rd)
+    t_f, idx_f, _, _ = flash_nearest(
+        feats, cornell.tri_feats16, cornell.tile_aabbs,
+        interpret=True, precision="f32",
+    )
+    t_x, idx_x, t2, i2 = flash_nearest(
+        feats, cornell.tri_feats16, cornell.tile_aabbs,
+        interpret=True, precision="x6",
+    )
+    assert t2 is None and i2 is None
+    hit_f = np.asarray(t_f) < BIG
+    hit_x = np.asarray(t_x) < BIG
+    assert np.mean(hit_f != hit_x) < 0.005
+    both = hit_f & hit_x
+    np.testing.assert_allclose(
+        np.asarray(t_x)[both], np.asarray(t_f)[both], rtol=1.5e-4
+    )
+    assert np.mean(np.asarray(idx_x)[both] != np.asarray(idx_f)[both]) < 0.005
+
+
+def test_x6_anyhit_matches_f32_oracle(cornell):
+    ro, rd = _rays(512, 41)
+    shadow = _ray_features16(ro, rd)
+    maxt = jnp.full(512, 2.5, jnp.float32)
+    occ_f = np.asarray(
+        flash_occlude(
+            shadow, maxt, cornell.tri_feats16, cornell.tile_aabbs,
+            interpret=True, precision="f32",
+        )
+    )
+    occ_x = np.asarray(
+        flash_occlude(
+            shadow, maxt, cornell.tri_feats16, cornell.tile_aabbs,
+            interpret=True, precision="x6",
+        )
+    )
+    assert np.mean(occ_f != occ_x) < 0.005
+
+
+def test_x6_nearest_shadow_multitile(furnace_scene):
+    """Merged nearest+shadow under x6 on a multi-tile scene matches the
+    f32 plan's results away from boundary noise."""
+    scene = furnace_scene
+    ro, rd = _rays(512, 42)
+    feats = _ray_features16(ro, rd)
+    sh_ro, sh_rd = _rays(512, 43)
+    shadow = _ray_features16(sh_ro, sh_rd).at[:, 10].set(2.0)
+    tf, idf, occf, _, _ = flash_nearest_shadow(
+        feats, shadow, scene.tri_feats16, scene.tile_aabbs,
+        interpret=True, precision="f32",
+    )
+    tx, idx, occx, _, _ = flash_nearest_shadow(
+        feats, shadow, scene.tri_feats16, scene.tile_aabbs,
+        interpret=True, precision="x6",
+    )
+    hit_f = np.asarray(tf) < BIG
+    hit_x = np.asarray(tx) < BIG
+    assert np.mean(hit_f != hit_x) < 0.005
+    both = hit_f & hit_x
+    np.testing.assert_allclose(
+        np.asarray(tx)[both], np.asarray(tf)[both], rtol=1.5e-4
+    )
+    assert np.mean(np.asarray(occf) != np.asarray(occx)) < 0.005
+
+
+def test_x6_no_margin_exact_det_floor():
+    from rustic_tpu.ops.flash_intersect import (
+        DET_EPS,
+        _plan_for,
+        near_edge_margin,
+    )
+
+    assert near_edge_margin("x6") == 0.0
+    plan = _plan_for("x6", "near")
+    assert plan.near_det_eps == DET_EPS
+    assert plan.any_det_eps == DET_EPS
+    assert plan.g_rows == [96]
