@@ -1044,6 +1044,238 @@ def _occlude_multi(plan):
 
 
 # ---------------------------------------------------------------------------
+# DMA-streamed multi-tile mode (cull-proportional G fetch)
+# ---------------------------------------------------------------------------
+# The streamed multi-tile kernels above pay one G-block DMA per
+# (ray block, tile) GRID STEP even for tiles the slab test culls:
+# Pallas prefetches operand blocks by index map, so @pl.when skips only
+# the MXU work. At megabatch sizes that fetch IS the scan — PBRTest
+# 1280x720 measures 358 ms/nearest dispatch (trace_exec, round 3),
+# which is exactly its ~266 GB of per-step x6 G traffic at HBM rate,
+# with wall time linear in tile count and the tt/resident knobs flat
+# (tools/probe_multitile). These variants make the fetch
+# cull-proportional, the TPU shape of the reference's hierarchical
+# traversal (reference: kernels/src/intersection.rs:177-234 does
+# O(log T) node fetches per ray; here each RAY BLOCK fetches only the
+# tiles its slab tests admit):
+#   grid = (ray blocks,) only. Each step slab-tests ALL tiles against
+#   its block, compacts the admitted tile ids into SMEM, then
+#   double-buffer-DMAs ONLY those tiles' G columns from HBM (ANY
+#   memory space) and folds them into the running winner. DMA and MXU
+#   work both drop to the visited-tile fraction, and the per-grid-step
+#   machinery drops from nb*nt to nb steps.
+
+
+def _g_dtypes(plan):
+    return [jnp.float32 if s == 4 else jnp.bfloat16 for s in plan.g_itemsizes]
+
+
+def _dma_scratch(plan, tt, nt, n_lists=1):
+    """scratch_shapes for a DMA-streamed kernel: n_lists SMEM tile-id /
+    flag lists, one (2, rows, w*tt) double buffer per G operand, and an
+    (ng, 2) DMA semaphore array."""
+    return (
+        [pltpu.SMEM((nt,), jnp.int32) for _ in range(n_lists)]
+        + [
+            pltpu.VMEM((2, r, w * tt), d)
+            for r, w, d in zip(plan.g_rows, plan.g_widths, _g_dtypes(plan))
+        ]
+        + [pltpu.SemaphoreType.DMA((plan.ng, 2))]
+    )
+
+
+def _stream_possible(plan, g_hbm, bufs, sems, tt, count, list_ref, body):
+    """Double-buffered streaming over the compacted possible-tile list:
+    start tile k+1's G copies while folding tile k. The 2-step unroll
+    keeps the buffer slot STATIC (Mosaic reads of a dynamically-indexed
+    VMEM buffer would round-trip; @pl.when guards the odd tail)."""
+    ng = plan.ng
+    w = plan.g_widths
+
+    def copies(k, slot):
+        j = list_ref[k] & _LIST_ID_MASK  # strip the per-test admit flags
+        return [
+            pltpu.make_async_copy(
+                g_hbm[o].at[:, pl.ds(j * (w[o] * tt), w[o] * tt)],
+                bufs[o].at[slot],
+                sems.at[o, slot],
+            )
+            for o in range(ng)
+        ]
+
+    @pl.when(count > 0)
+    def _():
+        for c in copies(0, 0):
+            c.start()
+
+    def step(m, carry):
+        for slot in (0, 1):  # static buffer slot
+            k = 2 * m + slot
+
+            @pl.when(k < count)
+            def _(k=k, slot=slot):
+                @pl.when(k + 1 < count)
+                def _():
+                    for c in copies(k + 1, 1 - slot):
+                        c.start()
+
+                for c in copies(k, slot):
+                    c.wait()
+                body(list_ref[k], tuple(b[slot] for b in bufs), k)
+
+        return carry
+
+    jax.lax.fori_loop(0, (count + 1) // 2, step, jnp.int32(0))
+
+
+def _compact_possible(nt, aabb_ref, list_ref, tests):
+    """Compact tile ids passing ANY of `tests(aabb_row) -> [bool]` into
+    list_ref; per-test admit flags are packed into the id's high bits
+    (nt < 2^20; flags occupy bits 20+). Returns the count."""
+
+    def scan(j, cnt):
+        row = aabb_ref[pl.ds(j, 1), :][0, :]
+        oks = [t(row) for t in tests]
+        any_ok = oks[0]
+        for o in oks[1:]:
+            any_ok = any_ok | o
+        packed = j
+        for i, o in enumerate(oks):
+            packed += jnp.where(o, jnp.int32(1 << (20 + i)), 0)
+
+        @pl.when(any_ok)
+        def _():
+            list_ref[cnt] = packed
+
+        return cnt + any_ok.astype(jnp.int32)
+
+    return jax.lax.fori_loop(0, nt, scan, jnp.int32(0))
+
+
+_LIST_ID_MASK = (1 << 20) - 1
+
+
+def _nearest_multi_dma(plan, nt):
+    ng = plan.ng
+    nn = _n_near(plan)
+
+    def kernel(*refs):
+        f_ref = refs[0]
+        g_hbm = refs[1 : 1 + ng]
+        aabb_ref = refs[1 + ng]
+        near_refs = refs[2 + ng : 2 + ng + nn]
+        list_ref = refs[2 + ng + nn]
+        bufs = refs[3 + ng + nn : 3 + 2 * ng + nn]
+        sems = refs[3 + 2 * ng + nn]
+        tt = g_hbm[0].shape[-1] // (nt * plan.g0_tts)
+        _init_near(near_refs)
+        f = f_ref[...]
+        count = _compact_possible(
+            nt, aabb_ref, list_ref, [lambda row: _tile_possible(f, row, BIG)]
+        )
+        fp = plan.prep_f(f)
+
+        def body(packed, g_blocks, _k):
+            j = packed & _LIST_ID_MASK
+            _merge_near(plan, fp, g_blocks, tt, j, near_refs)
+
+        _stream_possible(plan, g_hbm, bufs, sems, tt, count, list_ref, body)
+
+    return kernel
+
+
+def _nearest_shadow_multi_dma(plan, nt):
+    ng = plan.ng
+    nn = _n_near(plan)
+
+    def kernel(*refs):
+        f_ref, sh_ref = refs[0], refs[1]
+        g_hbm = refs[2 : 2 + ng]
+        aabb_ref = refs[2 + ng]
+        near_refs = refs[3 + ng : 3 + ng + nn]
+        occ_ref = refs[3 + ng + nn]
+        list_ref = refs[4 + ng + nn]
+        bufs = refs[5 + ng + nn : 5 + 2 * ng + nn]
+        sems = refs[5 + 2 * ng + nn]
+        tt = g_hbm[0].shape[-1] // (nt * plan.g0_tts)
+        _init_near(near_refs)
+        occ_ref[...] = jnp.zeros_like(occ_ref)
+        f = f_ref[...]
+        sh = sh_ref[...]
+        count = _compact_possible(
+            nt, aabb_ref, list_ref,
+            [
+                lambda row: _tile_possible(f, row, BIG),
+                lambda row: _tile_possible(sh, row, sh[SH_MAXT_COL, :]),
+            ],
+        )
+        fp = plan.prep_f(f)
+        shp = plan.prep_f(sh)
+
+        def body(packed, g_blocks, _k):
+            j = packed & _LIST_ID_MASK
+
+            @pl.when((packed & (1 << 20)) != 0)
+            def _():
+                _merge_near(plan, fp, g_blocks, tt, j, near_refs)
+
+            @pl.when((packed & (1 << 21)) != 0)
+            def _():
+                occ_ref[0, :] = occ_ref[0, :] | _tile_anyhit(
+                    plan, sh, shp, g_blocks, tt
+                )
+
+        _stream_possible(plan, g_hbm, bufs, sems, tt, count, list_ref, body)
+
+    return kernel
+
+
+def _occlude_multi_dma(plan, nt):
+    ng = plan.ng
+
+    def kernel(*refs):
+        f_ref = refs[0]
+        g_hbm = refs[1 : 1 + ng]
+        aabb_ref = refs[1 + ng]
+        occ_ref = refs[2 + ng]
+        list_ref = refs[3 + ng]
+        bufs = refs[4 + ng : 4 + 2 * ng]
+        sems = refs[4 + 2 * ng]
+        tt = g_hbm[0].shape[-1] // (nt * plan.g0_tts)
+        occ_ref[...] = jnp.zeros_like(occ_ref)
+        f = f_ref[...]
+        count = _compact_possible(
+            nt, aabb_ref, list_ref,
+            [lambda row: _tile_possible(f, row, f[SH_MAXT_COL, :])],
+        )
+        fp = plan.prep_f(f)
+
+        def body(packed, g_blocks, _k):
+            j = packed & _LIST_ID_MASK
+            occ_ref[0, :] = occ_ref[0, :] | _tile_anyhit(
+                plan, f, fp, g_blocks, tt
+            )
+
+        _stream_possible(plan, g_hbm, bufs, sems, tt, count, list_ref, body)
+
+    return kernel
+
+
+def use_dma_stream(interpret: bool, nt: int) -> bool:
+    """DMA-streamed multi-tile kernels: opt-in via $RUSTIC_DMA_STREAM=1
+    until the on-hardware equality + perf run lands (interpret mode
+    validates the logic in CI; the default flips with measurements, per
+    the round-2 verdict's measurement-discipline rule)."""
+    if interpret or nt < 2:
+        return False
+    return os.environ.get("RUSTIC_DMA_STREAM", "0") == "1"
+
+
+def _g_any_specs(plan):
+    return [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(plan.ng)]
+
+
+# ---------------------------------------------------------------------------
 # pallas_call plumbing
 # ---------------------------------------------------------------------------
 
@@ -1237,15 +1469,18 @@ def flash_nearest(feats, tri_feats16, tile_aabbs, bt=DEF_BT,
     # resolve OUTSIDE the jit so $RUSTIC_FLASH_DOT is re-read per call,
     # not frozen into the first trace's cache entry
     precision = resolve_precision(precision, interpret)
+    t_pad, tt, nt = _geometry(tri_feats16)
     return _flash_nearest(
         feats, tri_feats16, tile_aabbs, bt=bt, interpret=interpret,
         precision=precision,
         resident=use_resident(precision, tri_feats16, "near"),
+        dma=use_dma_stream(interpret, nt),
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bt", "interpret", "precision", "resident")
+    jax.jit,
+    static_argnames=("bt", "interpret", "precision", "resident", "dma"),
 )
 def _flash_nearest(
     feats: jnp.ndarray,
@@ -1255,11 +1490,25 @@ def _flash_nearest(
     interpret: bool,
     precision: str,
     resident: bool = False,
+    dma: bool = False,
 ):
     plan = _plan_for(precision, "near")
     feats, b, nb = _pad_rays(feats, bt)
     t_pad, tt, nt = _geometry(tri_feats16)
     g_ops = plan.g_operands(tri_feats16)
+    if dma and nt > 1 and not plan.top2:
+        out_specs, out_shapes = _near_out(plan, bt, nb, row_spec=_ROW_SPEC1)
+        outs = pl.pallas_call(
+            _nearest_multi_dma(plan, nt),
+            grid=(nb,),
+            in_specs=[_RAY_SPEC1(bt)] + _g_any_specs(plan) + [_AABB_SPEC1(nt)],
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            scratch_shapes=_dma_scratch(plan, tt, nt),
+            compiler_params=_params(interpret),
+            interpret=interpret,
+        )(feats, *g_ops, tile_aabbs)
+        return _near_rows(plan, outs, b)
     if resident and nt > 1:
         kernel = _nearest_resident(plan, nt)
         grid = (nb,)
@@ -1458,11 +1707,13 @@ def flash_nearest_shadow(feats, shadow_feats, tri_feats16, tile_aabbs,
         feats, shadow_feats, tri_feats16, tile_aabbs, bt=bt,
         interpret=interpret, precision=precision,
         resident=use_resident(precision, tri_feats16, "merged"),
+        dma=use_dma_stream(interpret, _geometry(tri_feats16)[2]),
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bt", "interpret", "precision", "resident")
+    jax.jit,
+    static_argnames=("bt", "interpret", "precision", "resident", "dma"),
 )
 def _flash_nearest_shadow(
     feats: jnp.ndarray,
@@ -1473,12 +1724,33 @@ def _flash_nearest_shadow(
     interpret: bool,
     precision: str,
     resident: bool = False,
+    dma: bool = False,
 ):
     plan = _DotPlan(precision)
     feats, b, nb = _pad_rays(feats, bt)
     shadow_feats, _, _ = _pad_rays(shadow_feats, bt)
     t_pad, tt, nt = _geometry(tri_feats16)
     g_ops = plan.g_operands(tri_feats16)
+    if dma and nt > 1 and not plan.top2:
+        near_specs, near_shapes = _near_out(plan, bt, nb, row_spec=_ROW_SPEC1)
+        outs = pl.pallas_call(
+            _nearest_shadow_multi_dma(plan, nt),
+            grid=(nb,),
+            in_specs=(
+                [_RAY_SPEC1(bt), _RAY_SPEC1(bt)]
+                + _g_any_specs(plan)
+                + [_AABB_SPEC1(nt)]
+            ),
+            out_specs=near_specs + [_ROW_SPEC1(bt)],
+            out_shape=near_shapes
+            + [jax.ShapeDtypeStruct((1, nb * bt), jnp.int32)],
+            scratch_shapes=_dma_scratch(plan, tt, nt),
+            compiler_params=_params(interpret),
+            interpret=interpret,
+        )(feats, shadow_feats, *g_ops, tile_aabbs)
+        nn = _n_near(plan)
+        t1, i1, t2, i2 = _near_rows(plan, outs[:nn], b)
+        return t1, i1, outs[nn].reshape(-1)[:b] != 0, t2, i2
     if resident and nt > 1:
         kernel = _nearest_shadow_resident(plan, nt)
         grid = (nb,)
@@ -1524,6 +1796,7 @@ def flash_occlude_packed(feats, tri_feats16, tile_aabbs, bt=DEF_BT,
         feats, tri_feats16, tile_aabbs, bt=bt, interpret=interpret,
         precision=precision,
         resident=use_resident(precision, tri_feats16, "any"),
+        dma=use_dma_stream(interpret, _geometry(tri_feats16)[2]),
     )
 
 
@@ -1540,7 +1813,9 @@ def flash_occlude_packed_t(feats_t, tri_feats16, tile_aabbs, bt=DEF_BT,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bt", "interpret", "precision", "resident", "transposed"),
+    static_argnames=(
+        "bt", "interpret", "precision", "resident", "transposed", "dma"
+    ),
 )
 def _flash_occlude_packed(
     feats: jnp.ndarray,
@@ -1551,11 +1826,24 @@ def _flash_occlude_packed(
     precision: str,
     resident: bool = False,
     transposed: bool = False,
+    dma: bool = False,
 ):
     plan = _plan_for(precision, "any")
     feats, b, nb = (_pad_rays_t if transposed else _pad_rays)(feats, bt)
     t_pad, tt, nt = _geometry(tri_feats16)
     g_ops = plan.g_operands(tri_feats16)
+    if dma and nt > 1:
+        occ = pl.pallas_call(
+            _occlude_multi_dma(plan, nt),
+            grid=(nb,),
+            in_specs=[_RAY_SPEC1(bt)] + _g_any_specs(plan) + [_AABB_SPEC1(nt)],
+            out_specs=_ROW_SPEC1(bt),
+            out_shape=jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),
+            scratch_shapes=_dma_scratch(plan, tt, nt),
+            compiler_params=_params(interpret),
+            interpret=interpret,
+        )(feats, *g_ops, tile_aabbs)
+        return occ.reshape(-1)[:b]
     if resident and nt > 1:
         kernel = _occlude_resident(plan, nt)
         grid = (nb,)

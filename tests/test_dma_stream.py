@@ -1,0 +1,72 @@
+"""Equality gates for the DMA-streamed multi-tile kernels
+(ops/flash_intersect.py `_nearest_multi_dma` family): same packed-min /
+any-hit results as the streamed-grid kernels, bit for bit. The DMA
+variants make the G fetch cull-proportional (grid = ray blocks only;
+only slab-admitted tiles are copied from HBM) — pure orchestration, so
+the results must be EXACTLY equal: the compacted tile set is a superset
+of every tile that can contain a winner, and packed-min / any-OR are
+visit-order-independent."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rustic_tpu.ops import flash_intersect as FI
+from rustic_tpu.ops.intersect import _ray_features16
+from rustic_tpu.scene.world import World
+from tests.conftest import scene_path
+
+
+@pytest.fixture(scope="module")
+def multi_tile_scene():
+    scene = World.from_path(scene_path("VeachMIS.glb")).to_device()
+    assert FI._geometry(scene.tri_feats16)[2] > 1, "scene must be multi-tile"
+    return scene
+
+
+def _rays(b, seed=0):
+    rng = np.random.default_rng(seed)
+    ro = rng.normal(0, 2.0, (b, 3)).astype(np.float32)
+    rd = rng.normal(0, 1, (b, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    feats = _ray_features16(jnp.asarray(ro), jnp.asarray(rd))
+    return feats, feats.at[:, FI.SH_MAXT_COL].set(3.0)
+
+
+@pytest.mark.parametrize("precision", ["f32", "x6"])
+def test_dma_nearest_matches_streamed(multi_tile_scene, precision):
+    scene = multi_tile_scene
+    feats, _ = _rays(2048)
+    kw = dict(bt=256, interpret=True, precision=precision)
+    t0, i0, *_ = FI._flash_nearest(
+        feats, scene.tri_feats16, scene.tile_aabbs, **kw
+    )
+    t1, i1, *_ = FI._flash_nearest(
+        feats, scene.tri_feats16, scene.tile_aabbs, dma=True, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+@pytest.mark.parametrize("precision", ["f32", "x6"])
+def test_dma_merged_and_occlude_match_streamed(multi_tile_scene, precision):
+    scene = multi_tile_scene
+    feats, shadow = _rays(2048, seed=1)
+    kw = dict(bt=256, interpret=True, precision=precision)
+    a0, b0, o0, *_ = FI._flash_nearest_shadow(
+        feats, shadow, scene.tri_feats16, scene.tile_aabbs, **kw
+    )
+    a1, b1, o1, *_ = FI._flash_nearest_shadow(
+        feats, shadow, scene.tri_feats16, scene.tile_aabbs, dma=True, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+    np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+    c0 = FI._flash_occlude_packed(
+        shadow, scene.tri_feats16, scene.tile_aabbs, **kw
+    )
+    c1 = FI._flash_occlude_packed(
+        shadow, scene.tri_feats16, scene.tile_aabbs, dma=True, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
