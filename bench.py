@@ -33,6 +33,41 @@ INIT_TIMEOUT_S = float(os.environ.get("RUSTIC_BENCH_INIT_TIMEOUT", "600"))
 # measurement time doesn't erase the last real number.
 LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_last.json")
 
+# Append-only measurement record (verdict r2 #6: every reading stays on
+# the record so default-flip regressions are attributable). bench_last
+# keeps only the latest for the stale-tunnel fallback above.
+HISTORY_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl"
+)
+
+
+def _cache_entry_count():
+    """Entries in the persistent XLA cache — the cold/warm discriminator.
+
+    A run that adds entries compiled at least one shape class server-side
+    (cold); a run that adds none replayed everything from cache (warm).
+    """
+    d = os.environ.get(
+        "RUSTIC_TPU_XLA_CACHE", os.path.expanduser("~/.cache/rustic_tpu_xla")
+    )
+    try:
+        return len(os.listdir(d))
+    except OSError:
+        return 0
+
+
+def _git_head():
+    try:
+        import subprocess
+
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or None
+    except Exception:
+        return None
+
 
 def _init_backend_or_die():
     """Import jax + init the default backend under a timeout."""
@@ -93,6 +128,8 @@ def main(argv=None):
 
     backend = jax.default_backend()
 
+    cache_before = _cache_entry_count()
+
     t0 = time.time()
     world = World.from_path("assets/scenes/DarkCornell.glb")
     scene = world.to_device()
@@ -116,6 +153,7 @@ def main(argv=None):
     )
     render_image(scene, config, warm)
     warmup_s = time.time() - t0
+    cache_added = _cache_entry_count() - cache_before
 
     # Best-of-2: the axon tunnel's run-to-run throughput varies +-20%,
     # and the driver records a single bench reading per round — two
@@ -169,6 +207,13 @@ def main(argv=None):
         "render_s": round(render_s, 3),
         "render_s_all": [round(t, 3) for t in render_times],
         "compile_s": round(warmup_s, 2),
+        # cold vs warm: a warm run replays every executable from the
+        # persistent XLA cache (cache_entries_added == 0); a cold run
+        # compiled at least one shape class server-side (~minutes on the
+        # axon tunnel). The same compile_s number means different things
+        # in the two regimes, so the regime is recorded with it.
+        "cache_entries_added": cache_added,
+        "compile_was_cold": bool(cache_added > 0),
         "scene_build_s": round(scene_build_s, 2),
         # time-to-first-frame: scene build + compile/warm render. The
         # reference's startup bench is ~3.0 s (benches/benchmark.rs:11);
@@ -183,6 +228,20 @@ def main(argv=None):
         "pbr_multitile_mpaths": pbr_mpaths,
     }
     print(json.dumps(result))
+    # Append-only history: every full-spec TPU reading is recorded with
+    # the commit it measured, so any default flip can be audited against
+    # the numbers that landed with it (r2 verdict weakness #6).
+    if backend == "tpu":
+        try:
+            with open(HISTORY_PATH, "a") as f:
+                rec = dict(result)
+                rec["measured_at"] = time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                )
+                rec["git"] = _git_head()
+                f.write(json.dumps(rec) + "\n")
+        except OSError:
+            pass
     if backend == "tpu" and spp == SPP:
         try:
             with open(LAST_GOOD_PATH, "w") as f:
