@@ -1071,29 +1071,127 @@ def _g_dtypes(plan):
 
 
 def _dma_scratch(plan, tt, nt, n_lists=1):
-    """scratch_shapes for a DMA-streamed kernel: n_lists SMEM tile-id /
-    flag lists, one (2, rows, w*tt) double buffer per G operand, and an
-    (ng, 2) DMA semaphore array."""
+    """scratch_shapes for a DMA-streamed kernel: one (2, rows, w*tt)
+    double buffer per G operand and an (ng, 2) DMA semaphore array.
+    (The admitted-tile lists arrive as SMEM operands — see
+    _block_tile_lists — so no list scratch remains.)"""
+    return [
+        pltpu.VMEM((2, r, w * tt), d)
+        for r, w, d in zip(plan.g_rows, plan.g_widths, _g_dtypes(plan))
+    ] + [pltpu.SemaphoreType.DMA((plan.ng, 2))]
+
+
+def _interval_mul(a_lo, a_hi, b_lo, b_hi):
+    """Interval product bounds: [a]*[b] via the four corner products."""
+    p1 = a_lo * b_lo
+    p2 = a_lo * b_hi
+    p3 = a_hi * b_lo
+    p4 = a_hi * b_hi
     return (
-        [pltpu.SMEM((nt,), jnp.int32) for _ in range(n_lists)]
-        + [
-            pltpu.VMEM((2, r, w * tt), d)
-            for r, w, d in zip(plan.g_rows, plan.g_widths, _g_dtypes(plan))
-        ]
-        + [pltpu.SemaphoreType.DMA((plan.ng, 2))]
+        jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+        jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)),
     )
 
 
-def _stream_possible(plan, g_hbm, bufs, sems, tt, count, list_ref, body):
-    """Double-buffered streaming over the compacted possible-tile list:
-    start tile k+1's G copies while folding tile k. The 2-step unroll
-    keeps the buffer slot STATIC (Mosaic reads of a dynamically-indexed
-    VMEM buffer would round-trip; @pl.when guards the odd tail)."""
+def _block_admits(feats, tile_aabbs, bt, use_maxt: bool):
+    """Conservative per-(ray-block, tile) slab admits [nb, nt] — the
+    XLA twin of the kernels' per-ray _tile_possible, via interval
+    arithmetic over each block's origin/inv-direction/max-t ranges.
+
+    Sound over-approximation: any tile some ray in the block could hit
+    is admitted (a superset keeps the kernels bit-exact — extra tiles
+    only add candidates that lose the running min / any-hit OR). With
+    the drivers' Morton-sorted, octant-pure, dead-last blocks the
+    intervals are tight; fully-retired sentinel blocks (origin 1e7,
+    max_t -1) admit nothing, so dead blocks cost one empty grid step.
+
+    Why this lives in XLA and not the kernel: measured on v5e (PBRTest
+    921k rays, 47 tiles), BOTH multi-tile kernel families spend
+    ~1.7 us per (block, tile) on the in-kernel test machinery — the
+    vector slab + cross-lane any() + scalar branch — which caps the
+    whole scan at ~300 ms regardless of culling or block size. Here
+    the same verdicts cost ~40 fused elementwise ops on [nb, nt]
+    arrays (microseconds), and the kernels loop over exactly the
+    admitted tiles."""
+    b = feats.shape[-1]
+    nb = b // bt
+    f3 = feats.reshape(16, nb, bt)
+    ro = f3[6:9]
+    rd = f3[0:3]
+    inv = jnp.where(
+        jnp.abs(rd) < 1e-12, jnp.where(rd < 0, -1e12, 1e12), 1.0 / rd
+    )
+    o_lo, o_hi = ro.min(-1), ro.max(-1)  # [3, nb]
+    iv_lo, iv_hi = inv.min(-1), inv.max(-1)
+    if use_maxt:
+        limit_hi = f3[SH_MAXT_COL].max(-1)  # [nb]
+    else:
+        limit_hi = jnp.full((nb,), BIG, jnp.float32)
+    lo_t = tile_aabbs[:, 0:3]  # [nt, 3]
+    hi_t = tile_aabbs[:, 4:7]
+    tmin_lo = None
+    tmax_hi = None
+    for a in range(3):
+        a_lo = lo_t[:, a][None, :] - o_hi[a][:, None]  # [nb, nt]
+        a_hi = lo_t[:, a][None, :] - o_lo[a][:, None]
+        t1_lo, t1_hi = _interval_mul(
+            a_lo, a_hi, iv_lo[a][:, None], iv_hi[a][:, None]
+        )
+        b_lo = hi_t[:, a][None, :] - o_hi[a][:, None]
+        b_hi = hi_t[:, a][None, :] - o_lo[a][:, None]
+        t2_lo, t2_hi = _interval_mul(
+            b_lo, b_hi, iv_lo[a][:, None], iv_hi[a][:, None]
+        )
+        slo_lo = jnp.minimum(t1_lo, t2_lo)  # lower bound of min(t1, t2)
+        shi_hi = jnp.maximum(t1_hi, t2_hi)  # upper bound of max(t1, t2)
+        tmin_lo = slo_lo if tmin_lo is None else jnp.maximum(tmin_lo, slo_lo)
+        tmax_hi = shi_hi if tmax_hi is None else jnp.minimum(tmax_hi, shi_hi)
+    return (
+        (tmax_hi >= tmin_lo)
+        & (tmax_hi > 0.0)
+        & (tmin_lo < limit_hi[:, None])
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("bt", "maxt_flags"))
+def _block_tile_lists(tile_aabbs, bt: int, maxt_flags, *feats_sets):
+    """Admitted-tile lists for the DMA-streamed kernels: for each ray
+    block, the ascending tile ids any of the ray sets may hit, with
+    per-set admit flags packed into bits 20+ (the _compact_possible
+    convention). Returns (plist [nb, nt] i32, pcount [nb, 1] i32) —
+    fed to the kernels as per-block SMEM rows."""
+    nt = tile_aabbs.shape[0]
+    admits = [
+        _block_admits(f, tile_aabbs, bt, use_maxt)
+        for f, use_maxt in zip(feats_sets, maxt_flags)
+    ]
+    nb = admits[0].shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (nb, nt), 1)
+    packed = iota
+    any_ok = admits[0]
+    for i, m in enumerate(admits):
+        packed = packed + jnp.where(m, jnp.int32(1 << (20 + i)), 0)
+        if i:
+            any_ok = any_ok | m
+    # stable ascending compaction: admitted ids first, original order
+    key = jnp.where(any_ok, iota, iota + nt)
+    order = jnp.argsort(key, axis=1)
+    plist = jnp.take_along_axis(packed, order, axis=1)
+    pcount = any_ok.sum(axis=1, dtype=jnp.int32)[:, None]
+    return plist, pcount
+
+
+def _stream_possible(plan, g_hbm, bufs, sems, tt, count, read, body):
+    """Double-buffered streaming over the admitted-tile list (read(k)
+    -> packed id, an SMEM row lookup): start tile k+1's G copies while
+    folding tile k. The 2-step unroll keeps the buffer slot STATIC
+    (Mosaic reads of a dynamically-indexed VMEM buffer would
+    round-trip; @pl.when guards the odd tail)."""
     ng = plan.ng
     w = plan.g_widths
 
     def copies(k, slot):
-        j = list_ref[k] & _LIST_ID_MASK  # strip the per-test admit flags
+        j = read(k) & _LIST_ID_MASK  # strip the per-test admit flags
         return [
             pltpu.make_async_copy(
                 g_hbm[o].at[:, pl.ds(j * (w[o] * tt), w[o] * tt)],
@@ -1121,35 +1219,11 @@ def _stream_possible(plan, g_hbm, bufs, sems, tt, count, list_ref, body):
 
                 for c in copies(k, slot):
                     c.wait()
-                body(list_ref[k], tuple(b[slot] for b in bufs), k)
+                body(read(k), tuple(b[slot] for b in bufs), k)
 
         return carry
 
     jax.lax.fori_loop(0, (count + 1) // 2, step, jnp.int32(0))
-
-
-def _compact_possible(nt, aabb_ref, list_ref, tests):
-    """Compact tile ids passing ANY of `tests(aabb_row) -> [bool]` into
-    list_ref; per-test admit flags are packed into the id's high bits
-    (nt < 2^20; flags occupy bits 20+). Returns the count."""
-
-    def scan(j, cnt):
-        row = aabb_ref[pl.ds(j, 1), :][0, :]
-        oks = [t(row) for t in tests]
-        any_ok = oks[0]
-        for o in oks[1:]:
-            any_ok = any_ok | o
-        packed = j
-        for i, o in enumerate(oks):
-            packed += jnp.where(o, jnp.int32(1 << (20 + i)), 0)
-
-        @pl.when(any_ok)
-        def _():
-            list_ref[cnt] = packed
-
-        return cnt + any_ok.astype(jnp.int32)
-
-    return jax.lax.fori_loop(0, nt, scan, jnp.int32(0))
 
 
 _LIST_ID_MASK = (1 << 20) - 1
@@ -1160,26 +1234,26 @@ def _nearest_multi_dma(plan, nt):
     nn = _n_near(plan)
 
     def kernel(*refs):
-        f_ref = refs[0]
-        g_hbm = refs[1 : 1 + ng]
-        aabb_ref = refs[1 + ng]
-        near_refs = refs[2 + ng : 2 + ng + nn]
-        list_ref = refs[2 + ng + nn]
+        count_ref, list_ref = refs[0], refs[1]  # SMEM [nb,1] / [nb,nt]
+        i = pl.program_id(0)
+        f_ref = refs[2]
+        g_hbm = refs[3 : 3 + ng]
+        near_refs = refs[3 + ng : 3 + ng + nn]
         bufs = refs[3 + ng + nn : 3 + 2 * ng + nn]
         sems = refs[3 + 2 * ng + nn]
         tt = g_hbm[0].shape[-1] // (nt * plan.g0_tts)
         _init_near(near_refs)
         f = f_ref[...]
-        count = _compact_possible(
-            nt, aabb_ref, list_ref, [lambda row: _tile_possible(f, row, BIG)]
-        )
         fp = plan.prep_f(f)
 
         def body(packed, g_blocks, _k):
             j = packed & _LIST_ID_MASK
             _merge_near(plan, fp, g_blocks, tt, j, near_refs)
 
-        _stream_possible(plan, g_hbm, bufs, sems, tt, count, list_ref, body)
+        _stream_possible(
+            plan, g_hbm, bufs, sems, tt, count_ref[i, 0],
+            lambda k: list_ref[i, k], body,
+        )
 
     return kernel
 
@@ -1189,12 +1263,12 @@ def _nearest_shadow_multi_dma(plan, nt):
     nn = _n_near(plan)
 
     def kernel(*refs):
-        f_ref, sh_ref = refs[0], refs[1]
-        g_hbm = refs[2 : 2 + ng]
-        aabb_ref = refs[2 + ng]
-        near_refs = refs[3 + ng : 3 + ng + nn]
-        occ_ref = refs[3 + ng + nn]
-        list_ref = refs[4 + ng + nn]
+        count_ref, list_ref = refs[0], refs[1]
+        i = pl.program_id(0)
+        f_ref, sh_ref = refs[2], refs[3]
+        g_hbm = refs[4 : 4 + ng]
+        near_refs = refs[4 + ng : 4 + ng + nn]
+        occ_ref = refs[4 + ng + nn]
         bufs = refs[5 + ng + nn : 5 + 2 * ng + nn]
         sems = refs[5 + 2 * ng + nn]
         tt = g_hbm[0].shape[-1] // (nt * plan.g0_tts)
@@ -1202,13 +1276,6 @@ def _nearest_shadow_multi_dma(plan, nt):
         occ_ref[...] = jnp.zeros_like(occ_ref)
         f = f_ref[...]
         sh = sh_ref[...]
-        count = _compact_possible(
-            nt, aabb_ref, list_ref,
-            [
-                lambda row: _tile_possible(f, row, BIG),
-                lambda row: _tile_possible(sh, row, sh[SH_MAXT_COL, :]),
-            ],
-        )
         fp = plan.prep_f(f)
         shp = plan.prep_f(sh)
 
@@ -1225,7 +1292,10 @@ def _nearest_shadow_multi_dma(plan, nt):
                     plan, sh, shp, g_blocks, tt
                 )
 
-        _stream_possible(plan, g_hbm, bufs, sems, tt, count, list_ref, body)
+        _stream_possible(
+            plan, g_hbm, bufs, sems, tt, count_ref[i, 0],
+            lambda k: list_ref[i, k], body,
+        )
 
     return kernel
 
@@ -1234,20 +1304,16 @@ def _occlude_multi_dma(plan, nt):
     ng = plan.ng
 
     def kernel(*refs):
-        f_ref = refs[0]
-        g_hbm = refs[1 : 1 + ng]
-        aabb_ref = refs[1 + ng]
-        occ_ref = refs[2 + ng]
-        list_ref = refs[3 + ng]
+        count_ref, list_ref = refs[0], refs[1]
+        i = pl.program_id(0)
+        f_ref = refs[2]
+        g_hbm = refs[3 : 3 + ng]
+        occ_ref = refs[3 + ng]
         bufs = refs[4 + ng : 4 + 2 * ng]
         sems = refs[4 + 2 * ng]
         tt = g_hbm[0].shape[-1] // (nt * plan.g0_tts)
         occ_ref[...] = jnp.zeros_like(occ_ref)
         f = f_ref[...]
-        count = _compact_possible(
-            nt, aabb_ref, list_ref,
-            [lambda row: _tile_possible(f, row, f[SH_MAXT_COL, :])],
-        )
         fp = plan.prep_f(f)
 
         def body(packed, g_blocks, _k):
@@ -1256,9 +1322,30 @@ def _occlude_multi_dma(plan, nt):
                 plan, f, fp, g_blocks, tt
             )
 
-        _stream_possible(plan, g_hbm, bufs, sems, tt, count, list_ref, body)
+        _stream_possible(
+            plan, g_hbm, bufs, sems, tt, count_ref[i, 0],
+            lambda k: list_ref[i, k], body,
+        )
 
     return kernel
+
+
+# The per-block lists ride as ONE full-array SMEM operand each (TPU
+# lowering requires SMEM blocks to equal the array dims); kernels index
+# rows by pl.program_id(0). Gated by _dma_lists_fit so the tables stay
+# within a conservative SMEM budget.
+_COUNT_SPEC = lambda nb: pl.BlockSpec(  # noqa: E731
+    (nb, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+)
+_PLIST_SPEC = lambda nb, nt: pl.BlockSpec(  # noqa: E731
+    (nb, nt), lambda i: (0, 0), memory_space=pltpu.SMEM
+)
+
+_DMA_LIST_SMEM_MAX = 256 * 1024  # bytes of SMEM budget for the lists
+
+
+def _dma_lists_fit(nb: int, nt: int) -> bool:
+    return nb * (nt + 1) * 4 <= _DMA_LIST_SMEM_MAX
 
 
 def use_dma_stream(interpret: bool, nt: int) -> bool:
@@ -1496,18 +1583,22 @@ def _flash_nearest(
     feats, b, nb = _pad_rays(feats, bt)
     t_pad, tt, nt = _geometry(tri_feats16)
     g_ops = plan.g_operands(tri_feats16)
-    if dma and nt > 1 and not plan.top2:
+    if dma and nt > 1 and not plan.top2 and _dma_lists_fit(nb, nt):
+        plist, pcount = _block_tile_lists(
+            tile_aabbs, bt, (False,), feats
+        )
         out_specs, out_shapes = _near_out(plan, bt, nb, row_spec=_ROW_SPEC1)
         outs = pl.pallas_call(
             _nearest_multi_dma(plan, nt),
             grid=(nb,),
-            in_specs=[_RAY_SPEC1(bt)] + _g_any_specs(plan) + [_AABB_SPEC1(nt)],
+            in_specs=[_COUNT_SPEC(nb), _PLIST_SPEC(nb, nt), _RAY_SPEC1(bt)]
+            + _g_any_specs(plan),
             out_specs=out_specs,
             out_shape=out_shapes,
             scratch_shapes=_dma_scratch(plan, tt, nt),
             compiler_params=_params(interpret),
             interpret=interpret,
-        )(feats, *g_ops, tile_aabbs)
+        )(pcount, plist, feats, *g_ops)
         return _near_rows(plan, outs, b)
     if resident and nt > 1:
         kernel = _nearest_resident(plan, nt)
@@ -1731,15 +1822,18 @@ def _flash_nearest_shadow(
     shadow_feats, _, _ = _pad_rays(shadow_feats, bt)
     t_pad, tt, nt = _geometry(tri_feats16)
     g_ops = plan.g_operands(tri_feats16)
-    if dma and nt > 1 and not plan.top2:
+    if dma and nt > 1 and not plan.top2 and _dma_lists_fit(nb, nt):
+        plist, pcount = _block_tile_lists(
+            tile_aabbs, bt, (False, True), feats, shadow_feats
+        )
         near_specs, near_shapes = _near_out(plan, bt, nb, row_spec=_ROW_SPEC1)
         outs = pl.pallas_call(
             _nearest_shadow_multi_dma(plan, nt),
             grid=(nb,),
             in_specs=(
-                [_RAY_SPEC1(bt), _RAY_SPEC1(bt)]
+                [_COUNT_SPEC(nb), _PLIST_SPEC(nb, nt), _RAY_SPEC1(bt),
+                 _RAY_SPEC1(bt)]
                 + _g_any_specs(plan)
-                + [_AABB_SPEC1(nt)]
             ),
             out_specs=near_specs + [_ROW_SPEC1(bt)],
             out_shape=near_shapes
@@ -1747,7 +1841,7 @@ def _flash_nearest_shadow(
             scratch_shapes=_dma_scratch(plan, tt, nt),
             compiler_params=_params(interpret),
             interpret=interpret,
-        )(feats, shadow_feats, *g_ops, tile_aabbs)
+        )(pcount, plist, feats, shadow_feats, *g_ops)
         nn = _n_near(plan)
         t1, i1, t2, i2 = _near_rows(plan, outs[:nn], b)
         return t1, i1, outs[nn].reshape(-1)[:b] != 0, t2, i2
@@ -1832,17 +1926,19 @@ def _flash_occlude_packed(
     feats, b, nb = (_pad_rays_t if transposed else _pad_rays)(feats, bt)
     t_pad, tt, nt = _geometry(tri_feats16)
     g_ops = plan.g_operands(tri_feats16)
-    if dma and nt > 1:
+    if dma and nt > 1 and _dma_lists_fit(nb, nt):
+        plist, pcount = _block_tile_lists(tile_aabbs, bt, (True,), feats)
         occ = pl.pallas_call(
             _occlude_multi_dma(plan, nt),
             grid=(nb,),
-            in_specs=[_RAY_SPEC1(bt)] + _g_any_specs(plan) + [_AABB_SPEC1(nt)],
+            in_specs=[_COUNT_SPEC(nb), _PLIST_SPEC(nb, nt), _RAY_SPEC1(bt)]
+            + _g_any_specs(plan),
             out_specs=_ROW_SPEC1(bt),
             out_shape=jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),
             scratch_shapes=_dma_scratch(plan, tt, nt),
             compiler_params=_params(interpret),
             interpret=interpret,
-        )(feats, *g_ops, tile_aabbs)
+        )(pcount, plist, feats, *g_ops)
         return occ.reshape(-1)[:b]
     if resident and nt > 1:
         kernel = _occlude_resident(plan, nt)

@@ -65,6 +65,21 @@ NST = 19
 _DIMS_PER_BOUNCE = 8
 _AA_DIMS = 2
 
+# ---- pre-picked NEE rows (f32) ---------------------------------------------
+# For scenes whose alias table exceeds the in-kernel select-sum width
+# (supported() gate), ops/resolve.picked_light_rows_t performs the
+# alias pick in XLA — with the SAME LDS draws this kernel would use —
+# and hands the picked light's fields in as [NPICK, B] rows.
+PICK_AREA = 0
+PICK_PDF = 1
+PICK_VA = slice(2, 5)
+PICK_VB = slice(5, 8)
+PICK_VC = slice(8, 11)
+PICK_NRM = slice(11, 14)
+PICK_EMI = slice(14, 17)
+PICK_TRI = 17
+NPICK = 18
+
 # BSDF constants (ops/bsdf.py; reference kernels/src/bsdf.rs:178-183)
 _DIELECTRIC_IOR = 1.5
 _F0S = (_DIELECTRIC_IOR - 1.0) / (_DIELECTRIC_IOR + 1.0)
@@ -448,9 +463,64 @@ def _lds_tile(n, dimension: int, offset):
     return (hi * 65536.0 + lo) * jnp.float32(1.0 / 4294967296.0)
 
 
+def _alias_select(entry_ref, n_alias: int, n_u32, dim0: int, offs, zero,
+                  zero3):
+    """In-kernel alias pick for SMALL tables: per-field select-sum
+    against the static entry rows (the tile twin of
+    nee.resolve_entry_fields). Big tables use the XLA pre-pick instead
+    (prepicked mode; ops/resolve.picked_light_rows_t)."""
+    n1 = _lds_tile(n_u32, dim0 + 3, offs)
+    n2 = _lds_tile(n_u32, dim0 + 4, offs)
+    entry = jnp.clip((n1 * n_alias).astype(jnp.int32), 0, n_alias - 1)
+    l_area = zero
+    l_pdf = zero
+    l_va = zero3
+    l_vb = zero3
+    l_vc = zero3
+    l_nrm = zero3
+    l_emi = zero3
+    l_tri = zero
+    for k in range(n_alias):
+        use = entry == k
+        take = use & (n2 < entry_ref[k, W.ENTRY_RATIO])
+
+        def sca(ca, cb):
+            return jnp.where(
+                use, jnp.where(take, entry_ref[k, ca], entry_ref[k, cb]),
+                0.0,
+            )
+
+        def vec(sa, sb):
+            return tuple(
+                jnp.where(
+                    use,
+                    jnp.where(take, entry_ref[k, sa.start + d],
+                              entry_ref[k, sb.start + d]),
+                    0.0,
+                )
+                for d in range(3)
+            )
+
+        l_area = l_area + sca(W.ENTRY_AREA_A, W.ENTRY_AREA_B)
+        l_pdf = l_pdf + sca(W.ENTRY_PDF_A, W.ENTRY_PDF_B)
+        va = W.ENTRY_A_VERTS.start
+        vb = W.ENTRY_B_VERTS.start
+        l_va = _add(l_va, vec(slice(va, va + 3), slice(vb, vb + 3)))
+        l_vb = _add(
+            l_vb, vec(slice(va + 3, va + 6), slice(vb + 3, vb + 6))
+        )
+        l_vc = _add(
+            l_vc, vec(slice(va + 6, va + 9), slice(vb + 6, vb + 9))
+        )
+        l_nrm = _add(l_nrm, vec(W.ENTRY_A_NORMAL, W.ENTRY_B_NORMAL))
+        l_emi = _add(l_emi, vec(W.ENTRY_A_EMISSION, W.ENTRY_B_EMISSION))
+        l_tri = l_tri + sca(W.ENTRY_A_TRI, W.ENTRY_B_TRI)
+    return l_area, l_pdf, l_va, l_vb, l_vc, l_nrm, l_emi, l_tri
+
+
 def _build_kernel(cfg: StaticConfig, bounce: int, has_lights: bool,
                   has_glass: bool, n_alias: int, edge_margin: float,
-                  has_occ: bool):
+                  has_occ: bool, prepicked: bool = False):
     nee = cfg.nee
     uses_nee = nee.uses_nee and has_lights
     last = bounce == cfg.max_bounces - 1
@@ -460,7 +530,8 @@ def _build_kernel(cfg: StaticConfig, bounce: int, has_lights: bool,
     def kernel(*refs):
         it = iter(refs)
         params_ref = next(it)  # [1, 8]: sun(0:4), clamp(4:6)
-        entry_ref = next(it) if uses_nee else None  # [n_pad, 48]
+        entry_ref = next(it) if uses_nee and not prepicked else None
+        picked_ref = next(it) if uses_nee and prepicked else None
         st_ref = next(it)  # [NST, R, L]
         feats_ref = next(it)  # [16, R, L]
         t_ref = next(it)  # [R, L]
@@ -605,60 +676,23 @@ def _build_kernel(cfg: StaticConfig, bounce: int, has_lights: bool,
         shadow_ro = shadow_rd = None
         shadow_maxt = zero
         if uses_nee:
-            n1 = _lds_tile(n_u32, dim0 + 3, offs)
-            n2 = _lds_tile(n_u32, dim0 + 4, offs)
             n3 = _lds_tile(n_u32, dim0 + 5, offs)
             n4 = _lds_tile(n_u32, dim0 + 6, offs)
-            entry = jnp.clip(
-                (n1 * n_alias).astype(jnp.int32), 0, n_alias - 1
-            )
-            # per-field select-sum against the static rows (the tile twin
-            # of nee.resolve_entry_fields)
-            l_area = zero
-            l_pdf = zero
-            l_va = zero3
-            l_vb = zero3
-            l_vc = zero3
-            l_nrm = zero3
-            l_emi = zero3
-            l_tri = zero
-            for k in range(n_alias):
-                use = entry == k
-                take = use & (n2 < entry_ref[k, W.ENTRY_RATIO])
-
-                def sca(ca, cb):
-                    return jnp.where(
-                        use, jnp.where(take, entry_ref[k, ca],
-                                       entry_ref[k, cb]), 0.0
+            if prepicked:
+                l_area = picked_ref[PICK_AREA]
+                l_pdf = picked_ref[PICK_PDF]
+                l_va = (picked_ref[2], picked_ref[3], picked_ref[4])
+                l_vb = (picked_ref[5], picked_ref[6], picked_ref[7])
+                l_vc = (picked_ref[8], picked_ref[9], picked_ref[10])
+                l_nrm = (picked_ref[11], picked_ref[12], picked_ref[13])
+                l_emi = (picked_ref[14], picked_ref[15], picked_ref[16])
+                l_tri = picked_ref[PICK_TRI]
+            else:
+                l_area, l_pdf, l_va, l_vb, l_vc, l_nrm, l_emi, l_tri = (
+                    _alias_select(
+                        entry_ref, n_alias, n_u32, dim0, offs, zero, zero3
                     )
-
-                def vec(sa, sb):
-                    return tuple(
-                        jnp.where(
-                            use,
-                            jnp.where(take, entry_ref[k, sa.start + d],
-                                      entry_ref[k, sb.start + d]),
-                            0.0,
-                        )
-                        for d in range(3)
-                    )
-
-                l_area = l_area + sca(W.ENTRY_AREA_A, W.ENTRY_AREA_B)
-                l_pdf = l_pdf + sca(W.ENTRY_PDF_A, W.ENTRY_PDF_B)
-                va = W.ENTRY_A_VERTS.start
-                vb = W.ENTRY_B_VERTS.start
-                l_va = _add(l_va, vec(slice(va, va + 3), slice(vb, vb + 3)))
-                l_vb = _add(
-                    l_vb, vec(slice(va + 3, va + 6), slice(vb + 3, vb + 6))
                 )
-                l_vc = _add(
-                    l_vc, vec(slice(va + 6, va + 9), slice(vb + 6, vb + 9))
-                )
-                l_nrm = _add(l_nrm, vec(W.ENTRY_A_NORMAL, W.ENTRY_B_NORMAL))
-                l_emi = _add(
-                    l_emi, vec(W.ENTRY_A_EMISSION, W.ENTRY_B_EMISSION)
-                )
-                l_tri = l_tri + sca(W.ENTRY_A_TRI, W.ENTRY_B_TRI)
 
             r1s = jnp.sqrt(jnp.maximum(n3, 0.0))
             light_point = tuple(
@@ -827,8 +861,23 @@ def supported(scene, cfg: StaticConfig, plan_top2: bool, batch: int) -> bool:
         not scene.has_textures
         and scene.tri_attrs_split is not None
         and scene.tri_attrs_split.shape[-1] == W.SLIM_WIDTH
-        and not cfg.has_skybox
+        # the single-tile driver has no pre-pick stage, so the alias
+        # table must fit the in-kernel select-sum
         and scene.n_alias_entries <= 16
+        and supported_mt(scene, cfg, plan_top2, batch)
+    )
+
+
+def supported_mt(scene, cfg: StaticConfig, plan_top2: bool,
+                 batch: int) -> bool:
+    """Applicability for the MULTI-TILE kernel-shade driver: the
+    resolve stage (ops/resolve.py) supplies slim winner rows for any
+    scene — textured or not — and wide alias tables go through the XLA
+    pre-pick (picked_light_rows_t), so only the kernel-intrinsic gates
+    remain: procedural sky, no top-2 candidate carry, and the
+    block-size floor."""
+    return (
+        not cfg.has_skybox
         and not plan_top2
         and pick_bs(batch) >= 512
     )
@@ -864,13 +913,20 @@ def shade_bounce(
     n_alias: int = 0,
     edge_margin: float = 0.0,
     interpret: bool = False,
+    pickedT=None,  # [NPICK, B] f32 pre-picked NEE rows, or None
 ):
     """Run one bounce's shading stage as a single Pallas kernel.
+
+    pickedT switches the kernel to prepicked-NEE mode: the alias pick
+    already happened in XLA (ops/resolve.picked_light_rows_t) and
+    entry_table is ignored — the path for alias tables too wide for the
+    in-kernel select-sum.
 
     Returns (st_out [NST, B], next_featsT [16, B] or None,
     shadow_featsT [16, B] or None)."""
     nee = cfg.nee
     uses_nee = nee.uses_nee and n_alias > 0
+    prepicked = pickedT is not None
     last = bounce == cfg.max_bounces - 1
     B = st.shape[-1]
     bs = pick_bs(B)
@@ -887,7 +943,7 @@ def shade_bounce(
 
     kernel = _build_kernel(
         cfg, bounce, uses_nee, has_glass, n_alias, edge_margin,
-        occ is not None,
+        occ is not None, prepicked=prepicked,
     )
 
     row_spec = lambda r: pl.BlockSpec(  # noqa: E731
@@ -899,7 +955,10 @@ def shade_bounce(
         pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     operands = [params]
-    if uses_nee:
+    if uses_nee and prepicked:
+        in_specs.append(row_spec(NPICK))
+        operands.append(vrows(pickedT, NPICK))
+    elif uses_nee:
         in_specs.append(
             pl.BlockSpec(
                 entry_table.shape, lambda i: (0, 0), memory_space=pltpu.VMEM

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import os
+import warnings
 from typing import Optional
 
 import numpy as np
@@ -156,11 +157,17 @@ def _sort_perm(scene, st, sentinel_dead):
     direction octant minor, retired lanes last. Blocks of consecutive
     rays then share origin locality, so the per-block tile-AABB slab
     test in the flash kernels actually prunes (see pick_bt)."""
+    return _sort_perm_rays(scene, st.ro, st.rd, sentinel_dead)
+
+
+def _sort_perm_rays(scene, ro, rd, sentinel_dead):
+    """_sort_perm on bare [B, 3] ray arrays (the kernel-shade multi-tile
+    driver carries rays in feature rows, not a TraceState)."""
     aabb = scene.tile_aabbs
     lo = jnp.min(aabb[:, 0:3], axis=0)
     hi = jnp.max(aabb[:, 4:7], axis=0)
     span = jnp.maximum(hi - lo, 1e-6)
-    q = jnp.clip(((st.ro - lo) / span * 16.0).astype(jnp.int32), 0, 15)
+    q = jnp.clip(((ro - lo) / span * 16.0).astype(jnp.int32), 0, 15)
 
     def spread4(v):  # 4-bit Morton spread: b3 b2 b1 b0 -> bits 9,6,3,0
         return ((v & 8) << 6) | ((v & 4) << 4) | ((v & 2) << 2) | (v & 1)
@@ -169,9 +176,9 @@ def _sort_perm(scene, st, sentinel_dead):
         (spread4(q[:, 0]) << 2) | (spread4(q[:, 1]) << 1) | spread4(q[:, 2])
     )
     octant = (
-        ((st.rd[:, 0] > 0).astype(jnp.int32) << 2)
-        | ((st.rd[:, 1] > 0).astype(jnp.int32) << 1)
-        | (st.rd[:, 2] > 0).astype(jnp.int32)
+        ((rd[:, 0] > 0).astype(jnp.int32) << 2)
+        | ((rd[:, 1] > 0).astype(jnp.int32) << 1)
+        | (rd[:, 2] > 0).astype(jnp.int32)
     )
     dead = jnp.where(sentinel_dead, 1, 0).astype(jnp.int32)
     key = (dead << 16) | (morton << 3) | octant
@@ -951,6 +958,25 @@ def render_batch_staged(
         # "state": the original whole-state re-sort + compaction
         # schedules. $RUSTIC_SORT_MODE switches; mesh mode uses "state"
         # (its shard_map wiring exists there).
+        if mesh is None and os.environ.get(
+            "RUSTIC_SHADE_KERNEL_MT", "0"
+        ) == "1":
+            from rustic_tpu.ops import shade_kernel as SK
+
+            if SK.supported_mt(
+                scene, cfg, _plan_for(prec, "near").top2, px.shape[0]
+            ):
+                return _render_batch_ks_multitile(
+                    scene, cfg, cam, px, py, offsets, sample_start,
+                    n_samples, film, bt, interpret, prec,
+                )
+            warnings.warn(
+                "RUSTIC_SHADE_KERNEL_MT=1 set but unsupported for this "
+                f"batch (lanes={px.shape[0]}, pick_bs="
+                f"{SK.pick_bs(px.shape[0])}, has_skybox={cfg.has_skybox})"
+                " — falling back to the XLA shade drivers",
+                stacklevel=2,
+            )
         if mesh is None and os.environ.get("RUSTIC_SORT_MODE", "rays") == "rays":
             return _render_batch_raysorted(
                 scene, cfg, cam, px, py, offsets, sample_start, n_samples,
@@ -1190,6 +1216,195 @@ def _render_batch_kernelshade(
         else:
             film = finishk(st, None, film)
         _throttle(film, k // fold)
+    if held is not None:
+        film = flush_held(held, film)
+    return film
+
+
+@functools.lru_cache(maxsize=16)
+def _stages_ks_mt(cfg: StaticConfig, fold: int = 1, edge_margin: float = 0.0):
+    """Stage set for the MULTI-TILE Mosaic-shade driver
+    (_render_batch_ks_multitile): per bounce the device runs exactly
+    four programs — [nearest kernel] -> [resolve XLA] -> [shade kernel]
+    -> [sort XLA]. The packed [NST, B] path state and the shade
+    kernel's featsT stay pixel-stationary (the _stages_raysorted
+    insight); only the kernels' ray operands are permuted, and the
+    winner columns unsort through one narrow gather. Attr rows come
+    from ops/resolve.py (field-wise transposed gathers + texture/
+    normal-map resolution) instead of the single-tile kernels'
+    in-kernel emission."""
+    from rustic_tpu.ops import shade_kernel as SK
+    from rustic_tpu.ops.resolve import picked_light_rows_t, resolve_attrs_t
+
+    initk, finishk = _stages_kernelshade(cfg, fold=fold)
+
+    @functools.partial(
+        jax.jit, static_argnames=("bounce", "has_occ", "has_inv", "prepick")
+    )
+    def resolvek(scene, featsT, t, i, occ, inv, sidx, offsets,
+                 bounce: int, has_occ: bool, has_inv: bool, prepick: bool):
+        if has_inv:
+            cols = [t, i] + ([occ.astype(jnp.int32)] if has_occ else [])
+            cols = _pack_unsort(inv, *cols)
+            t, i = cols[0], cols[1]
+            if has_occ:
+                occ = cols[2]
+        elif has_occ:
+            occ = occ.astype(jnp.int32)
+        attrsT = resolve_attrs_t(scene, featsT, i, edge_margin)
+        pickedT = (
+            picked_light_rows_t(scene, bounce, sidx, offsets)
+            if prepick else None
+        )
+        return t, i, occ, attrsT, pickedT
+
+    @functools.partial(jax.jit, static_argnames=("has_next", "has_shadow"))
+    def sortk(scene, st, nfT, sfT, has_next: bool, has_shadow: bool):
+        """Sort the shade kernel's emitted ray rows for the next kernel
+        call: retired lanes last (with sentinel rays so fully-dead
+        blocks skip all intersection work), next + shadow rays share
+        one [B, 32] row gather, and the inverse permutation rides out
+        for the winner-column unsort."""
+        alive = st[SK.SK_ALIVE] > 0.5
+        elig = st[SK.SK_PEND_ELIG] > 0.5 if has_shadow else None
+        nf = nfT.T if has_next else None
+        sf = sfT.T if has_shadow else None
+        if has_next:
+            dead = ~alive if not has_shadow else ~alive & ~elig
+            ro, rd = nf[:, 6:9], nf[:, 0:3]
+            nf = _sentinel_feats(nf, ~alive)
+        else:
+            dead = ~elig
+            ro, rd = sf[:, 6:9], sf[:, 0:3]
+        if has_shadow:
+            sf = _sentinel_feats(sf, ~elig)
+        perm = _sort_perm_rays(scene, ro, rd, dead)
+        inv = jnp.empty_like(perm).at[perm].set(
+            jnp.arange(perm.shape[0], dtype=perm.dtype)
+        )
+        if has_next and has_shadow:
+            both = jnp.concatenate([nf, sf], axis=1)[perm]
+            return both[:, :16], both[:, 16:], inv
+        if has_next:
+            return nf[perm], None, inv
+        return None, sf[perm], inv
+
+    return initk, finishk, resolvek, sortk
+
+
+_feats_rows = jax.jit(lambda fT: fT.T)
+
+
+@jax.jit
+def _unsort_occ(inv, occ):
+    (occ,) = _pack_unsort(inv, occ.astype(jnp.int32))
+    return occ
+
+
+def _render_batch_ks_multitile(
+    scene, cfg, cam, px, py, offsets, sample_start, n_samples, film,
+    bt, interpret, prec,
+):
+    """Multi-tile staged driver with the shading stage as ONE Mosaic
+    kernel per bounce: the ray-sorted driver's coherence machinery
+    (origin-Morton sort, sentinel dead-last blocks, stationary state)
+    wrapped around ops/shade_kernel.py + ops/resolve.py instead of the
+    ~50-fusion XLA shade stage. Opt-in via $RUSTIC_SHADE_KERNEL_MT
+    until the hardware numbers land (measurement-discipline rule)."""
+    from rustic_tpu.ops import shade_kernel as SK
+    from rustic_tpu.ops.flash_intersect import (
+        flash_nearest,
+        flash_nearest_shadow,
+        flash_occlude_packed,
+    )
+
+    g16 = scene.tri_feats16
+    fold = pick_sample_fold(px.shape[0], n_samples)
+    tiled = _tile_inputs((px, py, offsets), fold)
+    margin = near_edge_margin(prec)
+    n_alias = (
+        scene.n_alias_entries
+        if cfg.nee.uses_nee and scene.has_lights
+        else 0
+    )
+    # wide alias tables: the pick runs in XLA (resolve stage) and the
+    # kernel consumes the picked rows (prepicked mode)
+    from rustic_tpu.ops.nee import ENTRY_SELECT_MAX
+
+    prepick = n_alias > ENTRY_SELECT_MAX
+    kw = dict(bt=bt, interpret=interpret, precision=prec)
+    skw = dict(
+        has_glass=scene.has_glass, n_alias=n_alias, edge_margin=margin,
+        interpret=interpret,
+    )
+
+    def flush_held(held, film):
+        st_h, sh_h, inv_h, fin_h = held
+        occ = flash_occlude_packed(sh_h, g16, scene.tile_aabbs, **kw)
+        return fin_h(st_h, _unsort_occ(inv_h, occ), film)
+
+    held = None  # (st, sorted_shadow, inv, finishk) awaiting occlusion
+    for k in range(0, n_samples, fold):
+        g = min(fold, n_samples - k)
+        initk, finishk, resolvek, sortk = _stages_ks_mt(
+            cfg, fold=g, edge_margin=margin
+        )
+        pxg, pyg, offg = (
+            tiled if g == fold else _tile_inputs((px, py, offsets), g)
+        )
+        if held is not None and held[1].shape[0] != pxg.shape[0]:
+            film = flush_held(held, film)
+            held = None
+        st, featsT, sidx, params = initk(
+            cam, pxg, pyg, jnp.uint32(sample_start + k), offg
+        )
+        offg_u = jnp.asarray(offg, jnp.uint32)
+        pending_sh = held[1] if held is not None else None
+        inv = None  # inverse of the CURRENT kernel operands' order
+        feats_in = None  # sorted next rays; None => bounce-0 camera rays
+        for bounce in range(cfg.max_bounces):
+            op = feats_in if feats_in is not None else _feats_rows(featsT)
+            if pending_sh is None:
+                t, i, t2, i2 = flash_nearest(
+                    op, g16, scene.tile_aabbs, **kw
+                )
+                occ = None
+            else:
+                t, i, occ, t2, i2 = flash_nearest_shadow(
+                    op, pending_sh, g16, scene.tile_aabbs, **kw
+                )
+            assert t2 is None, "top-2 plans use the XLA shade stage"
+            if bounce == 0 and held is not None:
+                # the occlusion column belongs to the HELD group (its
+                # shadow rows rode this kernel in their own order)
+                st_h, _sh, inv_h, fin_h = held
+                film = fin_h(st_h, _unsort_occ(inv_h, occ), film)
+                held = None
+                occ = None
+            t, i, occ, attrsT, pickedT = resolvek(
+                scene, featsT, t, i, occ, inv, sidx, offg_u,
+                # bounce only keys the trace when the pick needs its
+                # LDS dims — fewer shape classes to compile otherwise
+                bounce if prepick else 0,
+                occ is not None, inv is not None, prepick,
+            )
+            st, nfT, sfT = SK.shade_bounce(
+                cfg, bounce, params, scene.entry_rows, st, featsT, t, i,
+                attrsT, occ, sidx, offg_u, pickedT=pickedT, **skw,
+            )
+            if nfT is None and sfT is None:
+                pending_sh = feats_in = inv = None
+                continue  # final bounce, NEE off: nothing left to trace
+            feats_in, pending_sh, inv = sortk(
+                scene, st, nfT, sfT, nfT is not None, sfT is not None
+            )
+            if nfT is not None:
+                featsT = nfT
+        if pending_sh is not None:
+            held = (st, pending_sh, inv, finishk)
+        else:
+            film = finishk(st, None, film)
+        _throttle(film, k // fold, _THROTTLE_GROUPS_SORTED)
     if held is not None:
         film = flush_held(held, film)
     return film

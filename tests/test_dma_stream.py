@@ -70,3 +70,48 @@ def test_dma_merged_and_occlude_match_streamed(multi_tile_scene, precision):
         shadow, scene.tri_feats16, scene.tile_aabbs, dma=True, **kw
     )
     np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+
+
+def test_block_admits_superset_of_per_ray(furnace_scene):
+    """_block_tile_lists' interval verdicts must admit every tile ANY
+    ray in the block exactly slab-hits — the soundness condition that
+    keeps the DMA kernels bit-exact (extra admits only add losing
+    candidates; a missed admit would drop real hits)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rustic_tpu.ops import flash_intersect as FI
+
+    rng = np.random.default_rng(3)
+    bt = 128
+    B = 512
+    scene = furnace_scene
+    aabb = np.asarray(scene.tile_aabbs)
+    nt = aabb.shape[0]
+    # mixed ray population: coherent-ish origins per block + random dirs
+    ro = rng.normal(0, 2.0, (B, 3)).astype(np.float32)
+    rd = rng.normal(0, 1.0, (B, 3)).astype(np.float32)
+    rd /= np.maximum(np.linalg.norm(rd, axis=-1, keepdims=True), 1e-9)
+    from rustic_tpu.ops.intersect import _ray_features16
+
+    feats = np.asarray(_ray_features16(jnp.asarray(ro), jnp.asarray(rd))).T
+    plist, pcount = FI._block_tile_lists(
+        jnp.asarray(aabb), bt, (False,), jnp.asarray(feats)
+    )
+    plist, pcount = np.asarray(plist), np.asarray(pcount)[:, 0]
+    admitted = [
+        set(int(v) & FI._LIST_ID_MASK for v in plist[b, : pcount[b]])
+        for b in range(B // bt)
+    ]
+    # exact per-ray slab
+    inv = 1.0 / np.where(np.abs(rd) < 1e-12,
+                         np.where(rd < 0, -1e-12, 1e-12), rd)
+    lo, hi = aabb[:, 0:3], aabb[:, 4:7]
+    for b in range(B // bt):
+        s = slice(b * bt, (b + 1) * bt)
+        t1 = (lo[None] - ro[s][:, None]) * inv[s][:, None]
+        t2 = (hi[None] - ro[s][:, None]) * inv[s][:, None]
+        tmin = np.minimum(t1, t2).max(axis=2)
+        tmax = np.maximum(t1, t2).min(axis=2)
+        hit_any = ((tmax >= tmin) & (tmax > 0)).any(axis=0)
+        for j in np.nonzero(hit_any)[0]:
+            assert int(j) in admitted[b], (b, int(j))

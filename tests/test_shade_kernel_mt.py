@@ -1,0 +1,96 @@
+"""Multi-tile kernel-shade driver (_render_batch_ks_multitile) equality
+against the ray-sorted XLA driver: resolve + Mosaic shade + sort must be
+a pure reimplementation of the shading stage, never a math change.
+
+FurnaceTest: multi-tile, NEE-heavy, most lanes retire after bounce 1 —
+exercises sentinels, the merged nearest+shadow unsort, the held-group
+finish, and the deferred-sky payoff. BreakTime (rendered without its
+HDR skybox, i.e. procedural sky): the textured resolve path — atlas
+albedo/rough/metal + normal mapping feeding the kernel synthetic slim
+rows. GlassTest: the per-lane glass BSDF branch."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rustic_tpu.runtime import pipeline as P
+
+from conftest import scene_path
+
+
+def _render(scene, spp, monkeypatch, ks: bool, n_px=1024, seed=9,
+            nee="mis"):
+    from rustic_tpu.config import NextEventEstimation, TracingConfig
+
+    config = TracingConfig(
+        width=64, height=64,
+        nee=NextEventEstimation.MIS if nee == "mis"
+        else NextEventEstimation.NONE,
+    )
+    rng = np.random.default_rng(seed)
+    px = jnp.asarray(rng.integers(0, 64, n_px), jnp.int32)
+    py = jnp.asarray(rng.integers(0, 64, n_px), jnp.int32)
+    offsets = jnp.asarray(rng.integers(0, 1 << 31, n_px), jnp.uint32)
+    with monkeypatch.context() as m:
+        m.setenv("RUSTIC_SHADE_KERNEL_MT", "1" if ks else "0")
+        return np.asarray(
+            P.render_batch_staged(
+                scene, config.static_part(), config.dynamic_part(),
+                px, py, offsets, 0, spp,
+            )
+        )
+
+
+def _assert_ks_dispatched(monkeypatch):
+    """Make the ks render FAIL LOUDLY if the dispatch gate silently
+    falls back to the XLA driver (the equality would then be vacuous)."""
+    calls = []
+    real = P._render_batch_ks_multitile
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(P, "_render_batch_ks_multitile", spy)
+    return calls
+
+
+def _assert_drivers_match(world, spp, monkeypatch, **kw):
+    scene = world.to_device()
+    calls = _assert_ks_dispatched(monkeypatch)
+    a = _render(scene, spp, monkeypatch, ks=True, **kw)
+    assert calls, "kernel-shade driver was not dispatched"
+    b = _render(scene, spp, monkeypatch, ks=False, **kw)
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4)
+
+
+def test_ks_mt_smoke_furnace(furnace_world, monkeypatch):
+    """Fast gate: one 2-spp group through the full 4-program chain
+    (FurnaceTest's 5120-entry alias table exercises prepicked NEE)."""
+    scene = furnace_world.to_device()
+    calls = _assert_ks_dispatched(monkeypatch)
+    a = _render(scene, 2, monkeypatch, ks=True)
+    assert calls, "kernel-shade driver was not dispatched"
+    b = _render(scene, 2, monkeypatch, ks=False)
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_ks_mt_matches_raysorted_furnace(furnace_world, monkeypatch):
+    _assert_drivers_match(furnace_world, 3, monkeypatch)
+
+
+@pytest.mark.slow
+def test_ks_mt_matches_raysorted_textured(monkeypatch):
+    from rustic_tpu.scene.world import World
+
+    world = World.from_path(scene_path("BreakTime.glb"))
+    _assert_drivers_match(world, 2, monkeypatch)
+
+
+@pytest.mark.slow
+def test_ks_mt_matches_raysorted_glass(monkeypatch):
+    from rustic_tpu.scene.world import World
+
+    world = World.from_path(scene_path("GlassTest.glb"))
+    _assert_drivers_match(world, 2, monkeypatch)
