@@ -1158,8 +1158,14 @@ def _block_tile_lists(tile_aabbs, bt: int, maxt_flags, *feats_sets):
     """Admitted-tile lists for the DMA-streamed kernels: for each ray
     block, the ascending tile ids any of the ray sets may hit, with
     per-set admit flags packed into bits 20+ (the _compact_possible
-    convention). Returns (plist [nb, nt] i32, pcount [nb, 1] i32) —
-    fed to the kernels as per-block SMEM rows."""
+    convention). Returns TRANSPOSED (plist [nt, nb128] i32, pcount
+    [1, nb128] i32), nb padded up to a multiple of 128: the kernels
+    window these per 128 consecutive ray blocks (block (nt, 128) /
+    (1, 128)) — Mosaic's lowering requires SMEM block dims divisible
+    by (8, 128) or equal to the array dims, so per-single-block rows
+    can't be windowed, but a 128-block column window can, keeping SMEM
+    residency at (nt+1)*128 ints per grid step regardless of batch
+    size (the old full-[nb, nt] operand capped B at ~1.4M lanes)."""
     nt = tile_aabbs.shape[0]
     admits = [
         _block_admits(f, tile_aabbs, bt, use_maxt)
@@ -1178,7 +1184,11 @@ def _block_tile_lists(tile_aabbs, bt: int, maxt_flags, *feats_sets):
     order = jnp.argsort(key, axis=1)
     plist = jnp.take_along_axis(packed, order, axis=1)
     pcount = any_ok.sum(axis=1, dtype=jnp.int32)[:, None]
-    return plist, pcount
+    pad = (-nb) % 128
+    if pad:
+        plist = jnp.pad(plist, ((0, pad), (0, 0)))
+        pcount = jnp.pad(pcount, ((0, pad), (0, 0)))
+    return plist.T, pcount.T
 
 
 def _stream_possible(plan, g_hbm, bufs, sems, tt, count, read, body):
@@ -1234,8 +1244,8 @@ def _nearest_multi_dma(plan, nt):
     nn = _n_near(plan)
 
     def kernel(*refs):
-        count_ref, list_ref = refs[0], refs[1]  # SMEM [nb,1] / [nb,nt]
-        i = pl.program_id(0)
+        count_ref, list_ref = refs[0], refs[1]  # SMEM (1,128)/(nt,128)
+        i = pl.program_id(0) % 128  # column inside this 128-block window
         f_ref = refs[2]
         g_hbm = refs[3 : 3 + ng]
         near_refs = refs[3 + ng : 3 + ng + nn]
@@ -1251,8 +1261,8 @@ def _nearest_multi_dma(plan, nt):
             _merge_near(plan, fp, g_blocks, tt, j, near_refs)
 
         _stream_possible(
-            plan, g_hbm, bufs, sems, tt, count_ref[i, 0],
-            lambda k: list_ref[i, k], body,
+            plan, g_hbm, bufs, sems, tt, count_ref[0, i],
+            lambda k: list_ref[k, i], body,
         )
 
     return kernel
@@ -1263,8 +1273,8 @@ def _nearest_shadow_multi_dma(plan, nt):
     nn = _n_near(plan)
 
     def kernel(*refs):
-        count_ref, list_ref = refs[0], refs[1]
-        i = pl.program_id(0)
+        count_ref, list_ref = refs[0], refs[1]  # SMEM (1,128)/(nt,128)
+        i = pl.program_id(0) % 128
         f_ref, sh_ref = refs[2], refs[3]
         g_hbm = refs[4 : 4 + ng]
         near_refs = refs[4 + ng : 4 + ng + nn]
@@ -1293,8 +1303,8 @@ def _nearest_shadow_multi_dma(plan, nt):
                 )
 
         _stream_possible(
-            plan, g_hbm, bufs, sems, tt, count_ref[i, 0],
-            lambda k: list_ref[i, k], body,
+            plan, g_hbm, bufs, sems, tt, count_ref[0, i],
+            lambda k: list_ref[k, i], body,
         )
 
     return kernel
@@ -1304,8 +1314,8 @@ def _occlude_multi_dma(plan, nt):
     ng = plan.ng
 
     def kernel(*refs):
-        count_ref, list_ref = refs[0], refs[1]
-        i = pl.program_id(0)
+        count_ref, list_ref = refs[0], refs[1]  # SMEM (1,128)/(nt,128)
+        i = pl.program_id(0) % 128
         f_ref = refs[2]
         g_hbm = refs[3 : 3 + ng]
         occ_ref = refs[3 + ng]
@@ -1323,29 +1333,32 @@ def _occlude_multi_dma(plan, nt):
             )
 
         _stream_possible(
-            plan, g_hbm, bufs, sems, tt, count_ref[i, 0],
-            lambda k: list_ref[i, k], body,
+            plan, g_hbm, bufs, sems, tt, count_ref[0, i],
+            lambda k: list_ref[k, i], body,
         )
 
     return kernel
 
 
-# The per-block lists ride as ONE full-array SMEM operand each (TPU
-# lowering requires SMEM blocks to equal the array dims); kernels index
-# rows by pl.program_id(0). Gated by _dma_lists_fit so the tables stay
-# within a conservative SMEM budget.
+# The per-block lists ride as TRANSPOSED [nt, nb128] SMEM operands
+# windowed per 128 consecutive ray blocks (Mosaic requires SMEM block
+# dims divisible by (8, 128) or equal to the array dims — a full-array
+# operand capped the batch at ~1.4M lanes and silently disabled DMA
+# streaming at megabatch sizes); kernels index column
+# pl.program_id(0) % 128. Gated by _dma_lists_fit (batch-independent).
 _COUNT_SPEC = lambda nb: pl.BlockSpec(  # noqa: E731
-    (nb, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+    (1, 128), lambda i: (0, i // 128), memory_space=pltpu.SMEM
 )
 _PLIST_SPEC = lambda nb, nt: pl.BlockSpec(  # noqa: E731
-    (nb, nt), lambda i: (0, 0), memory_space=pltpu.SMEM
+    (nt, 128), lambda i: (0, i // 128), memory_space=pltpu.SMEM
 )
 
 _DMA_LIST_SMEM_MAX = 256 * 1024  # bytes of SMEM budget for the lists
 
 
 def _dma_lists_fit(nb: int, nt: int) -> bool:
-    return nb * (nt + 1) * 4 <= _DMA_LIST_SMEM_MAX
+    # Windowed per 128 ray blocks: residency is batch-size-independent.
+    return (nt + 1) * 128 * 4 <= _DMA_LIST_SMEM_MAX
 
 
 def use_dma_stream(interpret: bool, nt: int) -> bool:

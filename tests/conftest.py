@@ -18,6 +18,26 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# This environment's zstandard C backend segfaults mid-suite while
+# compressing a large persistent-cache entry (reproducible at the same
+# executable, only after ~200 prior compiles in-process; standalone
+# the same compile+write succeeds). Fall back to zlib for cache writes
+# during tests — correctness-neutral, entries stay cross-readable per
+# the jax cache header. See round-3 notes.
+try:  # pragma: no cover - environment workaround
+    from jax._src import compilation_cache as _cc
+
+    _cc.zstandard = None
+    # zlib-written entries are not readable by zstd-mode processes (the
+    # algorithm choice is module-level, not per-entry), so keep the
+    # tests' cache separate from the TPU/bench cache.
+    os.environ.setdefault(
+        "RUSTIC_TPU_XLA_CACHE",
+        os.path.expanduser("~/.cache/rustic_tpu_xla_tests"),
+    )
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -97,9 +97,10 @@ def test_block_admits_superset_of_per_ray(furnace_scene):
     plist, pcount = FI._block_tile_lists(
         jnp.asarray(aabb), bt, (False,), jnp.asarray(feats)
     )
-    plist, pcount = np.asarray(plist), np.asarray(pcount)[:, 0]
+    # transposed layout: plist [nt, nb128], pcount [1, nb128]
+    plist, pcount = np.asarray(plist), np.asarray(pcount)[0]
     admitted = [
-        set(int(v) & FI._LIST_ID_MASK for v in plist[b, : pcount[b]])
+        set(int(v) & FI._LIST_ID_MASK for v in plist[: pcount[b], b])
         for b in range(B // bt)
     ]
     # exact per-ray slab
