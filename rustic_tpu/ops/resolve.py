@@ -75,30 +75,81 @@ def resolve_attrs_t(scene, featsT, idx, edge_margin: float = 0.0):
     )
 
 
-@jax.jit
-def _resolve_untextured_t(tri_attrs, idx):
-    """Slim rows straight off the full table (slim_attr_table's column
-    mapping, field-wise)."""
-    slim_cols = (
+def resolve_attrs_rowT(scene, featsT, idx, edge_margin: float = 0.0):
+    """resolve_attrs_t with ONE [B, W] row gather instead of ~50
+    field-wise [B] gathers.
+
+    TPU gathers pay a per-ROW latency (~5 ms per million rows) with the
+    row width riding free (PERFORMANCE.md round-2 finding); at
+    megabatch sizes the field-wise form therefore costs ~50x the row
+    form, and the [B, W] -> [W, B] relayout it was avoiding is plain
+    HBM bandwidth (~1-2 ms). Same math, same op order — bit-equal
+    output (tests/test_resolve.py)."""
+    if not scene.has_textures:
+        return _resolve_untextured_rowT(scene.tri_attrs, idx)
+    return _resolve_textured_rowT(
+        scene.tri_attrs, scene.atlas, featsT, idx, edge_margin
+    )
+
+
+def _slim_cols():
+    return (
         list(range(0, 18))  # POS + NRM, same offsets
         + list(range(W.ATTR_EMISSIVE.start, W.ATTR_EMISSIVE.stop))
         + list(range(W.ATTR_ALBEDO.start, W.ATTR_ALBEDO.start + 3))
         + [W.ATTR_ROUGH.start, W.ATTR_METAL.start,
            W.ATTR_TRANSMISSION, W.ATTR_IOR]
     )
-    rows = _gather_rows_t(tri_attrs, idx, slim_cols)
+
+
+@jax.jit
+def _resolve_untextured_t(tri_attrs, idx):
+    """Slim rows straight off the full table (slim_attr_table's column
+    mapping, field-wise)."""
+    rows = _gather_rows_t(tri_attrs, idx, _slim_cols())
     zero = jnp.zeros_like(rows[0])
     rows += [zero] * (W.SLIM_WIDTH - len(rows))
     return jnp.stack(rows)
 
 
+@jax.jit
+def _resolve_untextured_rowT(tri_attrs, idx):
+    """One row gather of the slim columns + one relayout."""
+    cols = _slim_cols()
+    g = jnp.take(tri_attrs[:, jnp.asarray(cols)], idx, axis=0)  # [B, len]
+    pad = W.SLIM_WIDTH - len(cols)
+    if pad:
+        g = jnp.pad(g, ((0, 0), (0, pad)))
+    return g.T
+
+
 @functools.partial(jax.jit, static_argnames=("edge_margin",))
 def _resolve_textured_t(tri_attrs, atlas, featsT, idx, edge_margin):
+    tT = tri_attrs.T
+    return jnp.stack(_textured_rows(
+        lambda ks: [_take(tT[k], idx) for k in ks],
+        atlas, featsT, idx, edge_margin,
+    ))
+
+
+@functools.partial(jax.jit, static_argnames=("edge_margin",))
+def _resolve_textured_rowT(tri_attrs, atlas, featsT, idx, edge_margin):
+    g = jnp.take(tri_attrs, idx, axis=0)  # ONE [B, W] row gather
+    return jnp.stack(_textured_rows(
+        lambda ks: [g[:, k] for k in ks],
+        atlas, featsT, idx, edge_margin,
+    ))
+
+
+def _textured_rows(cols, atlas, featsT, idx, edge_margin):
+    """The textured resolve math over a column accessor: cols(ks) ->
+    list of [B] winner-row columns. Both gather strategies route
+    through this, so their outputs are bit-equal by construction."""
     B = idx.shape[0]
     rd = (featsT[0], featsT[1], featsT[2])
     ro = (featsT[6], featsT[7], featsT[8])
 
-    pos = _gather_rows_t(tri_attrs, idx, range(0, 9))
+    pos = cols(range(0, 9))
     a3, b3, c3 = tuple(pos[0:3]), tuple(pos[3:6]), tuple(pos[6:9])
 
     # exact winner re-test for barycentrics (shade_kernel._mt_retest
@@ -126,13 +177,11 @@ def _resolve_textured_t(tri_attrs, atlas, featsT, idx, edge_margin):
             for k in range(3)
         )
 
-    nrm_rows = _gather_rows_t(tri_attrs, idx, range(9, 18))
+    nrm_rows = cols(range(9, 18))
     normal = blend3(nrm_rows)
 
     # uv blend + out-of-range wrap (trace.bounce_pre parity)
-    uv_rows = _gather_rows_t(
-        tri_attrs, idx, range(W.ATTR_UV.start, W.ATTR_UV.stop)
-    )
+    uv_rows = cols(range(W.ATTR_UV.start, W.ATTR_UV.stop))
     uv0 = w_a * uv_rows[0] + w_b * uv_rows[2] + w_c * uv_rows[4]
     uv1 = w_a * uv_rows[1] + w_b * uv_rows[3] + w_c * uv_rows[5]
     oor = (uv0 < 0.0) | (uv0 > 1.0) | (uv1 < 0.0) | (uv1 > 1.0)
@@ -141,17 +190,14 @@ def _resolve_textured_t(tri_attrs, atlas, featsT, idx, edge_margin):
     uv = jnp.stack([uv0, uv1], axis=-1)  # [B, 2] for sample_atlas
 
     def slot(sl):  # 4-wide atlas uvst slot -> [B, 4]
-        rows = _gather_rows_t(tri_attrs, idx, range(sl.start, sl.stop))
-        return jnp.stack(rows, axis=-1)
+        return jnp.stack(cols(range(sl.start, sl.stop)), axis=-1)
 
-    has_tex = _gather_rows_t(
-        tri_attrs, idx, range(W.ATTR_HASTEX.start, W.ATTR_HASTEX.stop)
-    )
+    has_tex = cols(range(W.ATTR_HASTEX.start, W.ATTR_HASTEX.stop))
 
     # normal mapping (kernels/src/lib.rs:131-141)
     has_nm = has_tex[3] != 0
     nm = sample_atlas(atlas, slot(W.ATTR_NORMTEX), uv) * 2.0 - 1.0
-    tan_rows = _gather_rows_t(tri_attrs, idx, range(18, 27))
+    tan_rows = cols(range(18, 27))
     tangent = blend3(tan_rows)
     bitangent = _cross(tangent, normal)
     mapped = tuple(
@@ -187,12 +233,8 @@ def _resolve_textured_t(tri_attrs, atlas, featsT, idx, edge_margin):
         metal_slot[..., 0],
     )
 
-    emis = _gather_rows_t(
-        tri_attrs, idx, range(W.ATTR_EMISSIVE.start, W.ATTR_EMISSIVE.stop)
-    )
-    trans, ior = _gather_rows_t(
-        tri_attrs, idx, (W.ATTR_TRANSMISSION, W.ATTR_IOR)
-    )
+    emis = cols(range(W.ATTR_EMISSIVE.start, W.ATTR_EMISSIVE.stop))
+    trans, ior = cols((W.ATTR_TRANSMISSION, W.ATTR_IOR))
 
     zero = jnp.zeros((B,), jnp.float32)
     rows = (

@@ -21,8 +21,10 @@ zero relayout); the winner's attr row arrives TRANSPOSED [W, B] exactly
 as the kernel emits it.
 
 Applicability (static, callers check via `supported`): untextured
-scenes (slim attr rows), procedural sky, alias table <= 16 rows, no
-top-2 candidate carry. Everything else keeps the XLA shade stage
+scenes (slim attr rows), alias table <= 16 rows, no top-2 candidate
+carry. HDR skyboxes are supported via an XLA miss-lane payoff after
+the last bounce (pipeline._hdr_sky_payoff) — the in-kernel payoff
+covers the procedural sky only. Everything else keeps the XLA shade stage
 (runtime/pipeline.py _stages) — which also remains the CPU test twin.
 
 Reference parity: the math mirrors ops/trace.py bounce_pre line for
@@ -775,7 +777,16 @@ def _build_kernel(cfg: StaticConfig, bounce: int, has_lights: bool,
             )
 
         # ---- deferred sky payoff (last bounce; block-predicated) --------------
-        if last:
+        # HDR-skybox configs skip the in-kernel payoff: the equirect
+        # image gather has no Mosaic path, so the driver evaluates
+        # image_sky in XLA on the missed lanes after the last bounce
+        # (pipeline._hdr_sky_payoff) — rd stays frozen at its miss-time
+        # value in the stationary featsT, exactly what the payoff needs
+        # (reference: kernels/src/lib.rs:66-79).
+        if last and cfg.has_skybox:
+            for d in range(3):
+                st_out[3 + d] = radiance[d]
+        elif last:
             any_missed = jnp.any(missed)
 
             @pl.when(any_missed)
@@ -872,13 +883,13 @@ def supported_mt(scene, cfg: StaticConfig, plan_top2: bool,
                  batch: int) -> bool:
     """Applicability for the MULTI-TILE kernel-shade driver: the
     resolve stage (ops/resolve.py) supplies slim winner rows for any
-    scene — textured or not — and wide alias tables go through the XLA
-    pre-pick (picked_light_rows_t), so only the kernel-intrinsic gates
-    remain: procedural sky, no top-2 candidate carry, and the
+    scene — textured or not — wide alias tables go through the XLA
+    pre-pick (picked_light_rows_t), and HDR skyboxes through the XLA
+    miss-lane payoff (pipeline._hdr_sky_payoff), so only the
+    kernel-intrinsic gates remain: no top-2 candidate carry and the
     block-size floor."""
     return (
-        not cfg.has_skybox
-        and not plan_top2
+        not plan_top2
         and pick_bs(batch) >= 512
     )
 

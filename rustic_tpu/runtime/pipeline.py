@@ -973,7 +973,7 @@ def render_batch_staged(
             warnings.warn(
                 "RUSTIC_SHADE_KERNEL_MT=1 set but unsupported for this "
                 f"batch (lanes={px.shape[0]}, pick_bs="
-                f"{SK.pick_bs(px.shape[0])}, has_skybox={cfg.has_skybox})"
+                f"{SK.pick_bs(px.shape[0])})"
                 " — falling back to the XLA shade drivers",
                 stacklevel=2,
             )
@@ -1209,8 +1209,11 @@ def _render_batch_kernelshade(
                 cfg, bounce, params, scene.entry_rows, st, featsT, t, i,
                 attrsT, occ, sidx, offg_u, **skw,
             )
-            featsT = nfT
+            if nfT is not None:  # last bounce keeps its input rows
+                featsT = nfT    # (the HDR payoff reads their rd)
             pending_sh = sfT
+        if cfg.has_skybox:
+            st = _hdr_sky_payoff(scene.skybox, cam.sun_direction, st, featsT)
         if pending_sh is not None:
             held = (st, pending_sh, finishk)
         else:
@@ -1234,7 +1237,21 @@ def _stages_ks_mt(cfg: StaticConfig, fold: int = 1, edge_margin: float = 0.0):
     normal-map resolution) instead of the single-tile kernels'
     in-kernel emission."""
     from rustic_tpu.ops import shade_kernel as SK
-    from rustic_tpu.ops.resolve import picked_light_rows_t, resolve_attrs_t
+    from rustic_tpu.ops.resolve import (
+        picked_light_rows_t,
+        resolve_attrs_rowT,
+        resolve_attrs_t,
+    )
+
+    # Row-gather resolve: ONE [B, W] gather + relayout instead of ~50
+    # field-wise [B] gathers (per-row gather latency dominates at
+    # megabatch; see resolve.resolve_attrs_rowT). $RUSTIC_RESOLVE=field
+    # keeps the field-wise form for A/B probes.
+    resolve_fn = (
+        resolve_attrs_t
+        if os.environ.get("RUSTIC_RESOLVE", "row") == "field"
+        else resolve_attrs_rowT
+    )
 
     initk, finishk = _stages_kernelshade(cfg, fold=fold)
 
@@ -1251,7 +1268,7 @@ def _stages_ks_mt(cfg: StaticConfig, fold: int = 1, edge_margin: float = 0.0):
                 occ = cols[2]
         elif has_occ:
             occ = occ.astype(jnp.int32)
-        attrsT = resolve_attrs_t(scene, featsT, i, edge_margin)
+        attrsT = resolve_fn(scene, featsT, i, edge_margin)
         pickedT = (
             picked_light_rows_t(scene, bounce, sidx, offsets)
             if prepick else None
@@ -1299,6 +1316,31 @@ _feats_rows = jax.jit(lambda fT: fT.T)
 def _unsort_occ(inv, occ):
     (occ,) = _pack_unsort(inv, occ.astype(jnp.int32))
     return occ
+
+
+@jax.jit
+def _hdr_sky_payoff(skybox, sun_direction, st, featsT):
+    """Deferred HDR-sky payoff for the kernel-shade drivers: the Mosaic
+    shade kernel defers sky to the last bounce but has no equirect
+    image gather, so missed lanes collect throughput * image_sky here,
+    in XLA, from the stationary last-bounce ray rows (rd stays frozen
+    at its miss-time value for retired lanes — the kernel only writes
+    direction under the shade mask). Twin of the in-kernel procedural
+    payoff (ops/shade_kernel.py) and of trace.deferred_sky_term on the
+    XLA drivers (reference: kernels/src/lib.rs:66-79)."""
+    from rustic_tpu.ops import shade_kernel as SK
+    from rustic_tpu.ops.skybox import image_sky
+
+    missed = st[SK.SK_MISSED] > 0.5
+
+    def payoff():
+        rd = featsT[0:3].T
+        sky = image_sky(skybox, sun_direction, rd)  # [B, 3]
+        add = jnp.where(missed[None, :], st[SK.SK_THR] * sky.T, 0.0)
+        return st.at[SK.SK_RAD].add(add)
+
+    # enclosed scenes: a false predicate makes the cond free
+    return jax.lax.cond(jnp.any(missed), payoff, lambda: st)
 
 
 def _render_batch_ks_multitile(
@@ -1400,6 +1442,10 @@ def _render_batch_ks_multitile(
             )
             if nfT is not None:
                 featsT = nfT
+        if cfg.has_skybox:
+            # featsT still holds the last bounce's STATIONARY input rows
+            # (nfT is None on the last bounce)
+            st = _hdr_sky_payoff(scene.skybox, cam.sun_direction, st, featsT)
         if pending_sh is not None:
             held = (st, pending_sh, inv, finishk)
         else:

@@ -46,6 +46,22 @@ def _rays_at(scene, idx):
     return jnp.asarray(ro, jnp.float32), jnp.asarray(rd, jnp.float32)
 
 
+def test_rowgather_variant_bit_equal(cornell_scene, breaktime_scene):
+    """resolve_attrs_rowT (ONE [B, W] row gather + relayout) must be
+    bit-equal to the field-wise form on both the untextured and the
+    textured path — same math routed through _textured_rows."""
+    rng = np.random.default_rng(3)
+    for scene in (cornell_scene, breaktime_scene):
+        T = int(np.asarray(scene.tri_attrs).shape[0])
+        idx = jnp.asarray(rng.integers(0, T, 513).astype(np.int32))
+        featsT = jnp.asarray(
+            rng.standard_normal((16, 513)), jnp.float32
+        )
+        a = np.asarray(R.resolve_attrs_t(scene, featsT, idx, 1e-4))
+        b = np.asarray(R.resolve_attrs_rowT(scene, featsT, idx, 1e-4))
+        np.testing.assert_array_equal(a, b)
+
+
 def test_untextured_rows_match_slim_table(cornell_scene):
     scene = cornell_scene
     assert not scene.has_textures

@@ -19,11 +19,11 @@ from conftest import scene_path
 
 
 def _render(scene, spp, monkeypatch, ks: bool, n_px=1024, seed=9,
-            nee="mis"):
+            nee="mis", has_skybox=False):
     from rustic_tpu.config import NextEventEstimation, TracingConfig
 
     config = TracingConfig(
-        width=64, height=64,
+        width=64, height=64, has_skybox=has_skybox,
         nee=NextEventEstimation.MIS if nee == "mis"
         else NextEventEstimation.NONE,
     )
@@ -55,13 +55,16 @@ def _assert_ks_dispatched(monkeypatch):
     return calls
 
 
-def _assert_drivers_match(world, spp, monkeypatch, **kw):
-    scene = world.to_device()
+def _assert_drivers_match(world, spp, monkeypatch, skybox=None, **kw):
+    scene = world.to_device(skybox)
     calls = _assert_ks_dispatched(monkeypatch)
-    a = _render(scene, spp, monkeypatch, ks=True, **kw)
+    a = _render(scene, spp, monkeypatch, ks=True,
+                has_skybox=skybox is not None, **kw)
     assert calls, "kernel-shade driver was not dispatched"
-    b = _render(scene, spp, monkeypatch, ks=False, **kw)
+    b = _render(scene, spp, monkeypatch, ks=False,
+                has_skybox=skybox is not None, **kw)
     np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4)
+    return a
 
 
 def test_ks_mt_smoke_furnace(furnace_world, monkeypatch):
@@ -94,3 +97,32 @@ def test_ks_mt_matches_raysorted_glass(monkeypatch):
 
     world = World.from_path(scene_path("GlassTest.glb"))
     _assert_drivers_match(world, 2, monkeypatch)
+
+
+def test_ks_mt_hdr_skybox_payoff(monkeypatch):
+    """Round-4 gate lift: has_skybox no longer excludes the MT shade
+    driver — the kernel skips its in-kernel (procedural-only) payoff
+    and pipeline._hdr_sky_payoff collects throughput * image_sky on the
+    missed lanes in XLA. VeachMIS is open, so misses carry real energy:
+    the equality would be vacuous if the sky never arrived."""
+    from rustic_tpu.scene.world import World
+
+    sky = np.zeros((16, 32, 4), np.float32)
+    sky[6:10, :, 0] = 4.0  # bright red band: misses must light up red
+    sky[:, :, 1] = 0.25
+    sky[:, :, 3] = 1.0
+    world = World.from_path(scene_path("VeachMIS.glb"))
+    film = _assert_drivers_match(world, 2, monkeypatch, skybox=sky)
+    assert film[:, 0].max() > 0.01, "no sky energy reached the film"
+
+
+@pytest.mark.slow
+def test_ks_mt_matches_raysorted_breaktime_hdr(monkeypatch):
+    """BASELINE config #5's exact shape: BreakTime WITH its committed
+    HDR sky (textures + normal maps + wide alias table + image sky
+    through the 4-program MT chain)."""
+    from rustic_tpu.scene.world import World, load_skybox_image
+
+    sky = load_skybox_image(scene_path("BreakTimeSky.npy"))
+    world = World.from_path(scene_path("BreakTime.glb"))
+    _assert_drivers_match(world, 2, monkeypatch, skybox=sky)
