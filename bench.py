@@ -155,17 +155,18 @@ def main(argv=None):
     warmup_s = time.time() - t0
     cache_added = _cache_entry_count() - cache_before
 
-    # Best-of-2: the axon tunnel's run-to-run throughput varies +-20%,
-    # and the driver records a single bench reading per round — two
-    # timed renders keep one slow tunnel window from masking real
-    # regressions/improvements. (Each render hard-syncs via np.asarray
-    # inside render_image.)
+    # Median-of-3 (r3 verdict weakness #5: two same-commit full-spec
+    # readings spread 18%, so best-of-2 cannot certify a default flip).
+    # Three timed renders cost ~8 s each against a minutes-scale
+    # compile; the QUOTED number is the median — the spread stays on
+    # the record in render_s_all. (Each render hard-syncs via
+    # np.asarray inside render_image.)
     render_times = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         film = render_image(scene, config, settings)
         render_times.append(time.time() - t0)
-    render_s = min(render_times)
+    render_s = float(np.median(render_times))
 
     paths = WIDTH * HEIGHT * spp
     mpaths_per_s = paths / render_s / 1e6
@@ -192,10 +193,13 @@ def main(argv=None):
         pcfg = TracingConfig(width=256, height=144, nee=NextEventEstimation.MIS)
         psettings = RenderSettings(samples=8)
         render_image(pw, pcfg, psettings)  # compile
-        t0 = time.time()
-        np.asarray(render_image(pw, pcfg, psettings))
+        pbr_times = []
+        for _ in range(3):
+            t0 = time.time()
+            np.asarray(render_image(pw, pcfg, psettings))
+            pbr_times.append(time.time() - t0)
         pbr_paths = 256 * 144 * 8 * pcfg.max_bounces
-        pbr_mpaths = round(pbr_paths / (time.time() - t0) / 1e6, 2)
+        pbr_mpaths = round(pbr_paths / float(np.median(pbr_times)) / 1e6, 2)
     except Exception:
         pass
 

@@ -39,6 +39,32 @@ if _cache_dir and _cache_dir != "0":
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    # Seed the cache from a repo-shipped snapshot — the analog of the
+    # reference shipping precompiled SPIR-V kernels with the app
+    # (reference: kernels are built at crate build time, not first
+    # launch). A first-contact cold compile costs minutes over the axon
+    # tunnel; the snapshot carries the headline bench/CLI executables
+    # for the jax/libtpu image this repo pins. Entries are copied only
+    # if absent; a key miss (different jax version, different HLO) just
+    # falls back to a normal compile.
+    _seed = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "assets", "xla_cache_seed",
+    )
+    if (
+        _os.path.isdir(_seed)
+        and _os.environ.get("RUSTIC_TPU_XLA_SEED", "1") == "1"
+    ):
+        try:
+            _os.makedirs(_cache_dir, exist_ok=True)
+            import shutil as _shutil
+
+            for _f in _os.listdir(_seed):
+                _dst = _os.path.join(_cache_dir, _f)
+                if _f.endswith("-cache") and not _os.path.exists(_dst):
+                    _shutil.copyfile(_os.path.join(_seed, _f), _dst)
+        except Exception:
+            pass
 
 # Honor $JAX_PLATFORMS even when a site hook (e.g. the axon TPU plugin's
 # sitecustomize) programmatically overrode the platform list before this

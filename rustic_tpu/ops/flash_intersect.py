@@ -1346,29 +1346,33 @@ def _occlude_multi_dma(plan, nt):
 # operand capped the batch at ~1.4M lanes and silently disabled DMA
 # streaming at megabatch sizes); kernels index column
 # pl.program_id(0) % 128. Gated by _dma_lists_fit (batch-independent).
-_COUNT_SPEC = lambda nb: pl.BlockSpec(  # noqa: E731
+_COUNT_SPEC = lambda: pl.BlockSpec(  # noqa: E731
     (1, 128), lambda i: (0, i // 128), memory_space=pltpu.SMEM
 )
-_PLIST_SPEC = lambda nb, nt: pl.BlockSpec(  # noqa: E731
+_PLIST_SPEC = lambda nt: pl.BlockSpec(  # noqa: E731
     (nt, 128), lambda i: (0, i // 128), memory_space=pltpu.SMEM
 )
 
 _DMA_LIST_SMEM_MAX = 256 * 1024  # bytes of SMEM budget for the lists
 
 
-def _dma_lists_fit(nb: int, nt: int) -> bool:
+def _dma_lists_fit(nt: int) -> bool:
     # Windowed per 128 ray blocks: residency is batch-size-independent.
     return (nt + 1) * 128 * 4 <= _DMA_LIST_SMEM_MAX
 
 
 def use_dma_stream(interpret: bool, nt: int) -> bool:
-    """DMA-streamed multi-tile kernels: opt-in via $RUSTIC_DMA_STREAM=1
-    until the on-hardware equality + perf run lands (interpret mode
-    validates the logic in CI; the default flips with measurements, per
-    the round-2 verdict's measurement-discipline rule)."""
+    """DMA-streamed multi-tile kernels: DEFAULT ON for TPU multi-tile
+    scenes (round-4 hardware session, 2026-08-21): PBRTest 1280x720x16
+    1.70 -> 2.23 Mpaths/s (+31%, 3 reps), VeachMIS 2.32 -> 2.38 (tie —
+    only 6 tiles, little to cull, and the slab-test/DMA machinery costs
+    nothing), film_mean bit-identical on both scenes; the round-3 OOB
+    fault is fixed and the interpret-mode bit-equality suite
+    (tests/test_dma_stream.py) pins the kernels. $RUSTIC_DMA_STREAM=0
+    opts out for A/B probes."""
     if interpret or nt < 2:
         return False
-    return os.environ.get("RUSTIC_DMA_STREAM", "0") == "1"
+    return os.environ.get("RUSTIC_DMA_STREAM", "1") == "1"
 
 
 def _g_any_specs(plan):
@@ -1596,7 +1600,7 @@ def _flash_nearest(
     feats, b, nb = _pad_rays(feats, bt)
     t_pad, tt, nt = _geometry(tri_feats16)
     g_ops = plan.g_operands(tri_feats16)
-    if dma and nt > 1 and not plan.top2 and _dma_lists_fit(nb, nt):
+    if dma and nt > 1 and not plan.top2 and _dma_lists_fit(nt):
         plist, pcount = _block_tile_lists(
             tile_aabbs, bt, (False,), feats
         )
@@ -1604,7 +1608,7 @@ def _flash_nearest(
         outs = pl.pallas_call(
             _nearest_multi_dma(plan, nt),
             grid=(nb,),
-            in_specs=[_COUNT_SPEC(nb), _PLIST_SPEC(nb, nt), _RAY_SPEC1(bt)]
+            in_specs=[_COUNT_SPEC(), _PLIST_SPEC(nt), _RAY_SPEC1(bt)]
             + _g_any_specs(plan),
             out_specs=out_specs,
             out_shape=out_shapes,
@@ -1835,7 +1839,7 @@ def _flash_nearest_shadow(
     shadow_feats, _, _ = _pad_rays(shadow_feats, bt)
     t_pad, tt, nt = _geometry(tri_feats16)
     g_ops = plan.g_operands(tri_feats16)
-    if dma and nt > 1 and not plan.top2 and _dma_lists_fit(nb, nt):
+    if dma and nt > 1 and not plan.top2 and _dma_lists_fit(nt):
         plist, pcount = _block_tile_lists(
             tile_aabbs, bt, (False, True), feats, shadow_feats
         )
@@ -1844,7 +1848,7 @@ def _flash_nearest_shadow(
             _nearest_shadow_multi_dma(plan, nt),
             grid=(nb,),
             in_specs=(
-                [_COUNT_SPEC(nb), _PLIST_SPEC(nb, nt), _RAY_SPEC1(bt),
+                [_COUNT_SPEC(), _PLIST_SPEC(nt), _RAY_SPEC1(bt),
                  _RAY_SPEC1(bt)]
                 + _g_any_specs(plan)
             ),
@@ -1939,12 +1943,12 @@ def _flash_occlude_packed(
     feats, b, nb = (_pad_rays_t if transposed else _pad_rays)(feats, bt)
     t_pad, tt, nt = _geometry(tri_feats16)
     g_ops = plan.g_operands(tri_feats16)
-    if dma and nt > 1 and _dma_lists_fit(nb, nt):
+    if dma and nt > 1 and _dma_lists_fit(nt):
         plist, pcount = _block_tile_lists(tile_aabbs, bt, (True,), feats)
         occ = pl.pallas_call(
             _occlude_multi_dma(plan, nt),
             grid=(nb,),
-            in_specs=[_COUNT_SPEC(nb), _PLIST_SPEC(nb, nt), _RAY_SPEC1(bt)]
+            in_specs=[_COUNT_SPEC(), _PLIST_SPEC(nt), _RAY_SPEC1(bt)]
             + _g_any_specs(plan),
             out_specs=_ROW_SPEC1(bt),
             out_shape=jax.ShapeDtypeStruct((1, nb * bt), jnp.int32),

@@ -22,19 +22,28 @@ jax.config.update("jax_platforms", "cpu")
 # compressing a large persistent-cache entry (reproducible at the same
 # executable, only after ~200 prior compiles in-process; standalone
 # the same compile+write succeeds). Fall back to zlib for cache writes
-# during tests — correctness-neutral, entries stay cross-readable per
-# the jax cache header. See round-3 notes.
+# during tests — correctness-neutral. See round-3 notes.
 try:  # pragma: no cover - environment workaround
     from jax._src import compilation_cache as _cc
 
+    # jax 0.9.0 probes a module-level `zstd` before `zstandard`; null
+    # both so the fallback holds even if a zstd package appears.
     _cc.zstandard = None
-    # zlib-written entries are not readable by zstd-mode processes (the
-    # algorithm choice is module-level, not per-entry), so keep the
-    # tests' cache separate from the TPU/bench cache.
-    os.environ.setdefault(
-        "RUSTIC_TPU_XLA_CACHE",
-        os.path.expanduser("~/.cache/rustic_tpu_xla_tests"),
+    if hasattr(_cc, "zstd"):
+        _cc.zstd = None
+    # The compression algorithm choice is module-global (no per-entry
+    # header), so zlib-written entries are NOT readable by zstd-mode
+    # processes: keep the tests' cache strictly separate from any
+    # TPU/bench cache, including a user-exported one.
+    _cache = os.environ.get("RUSTIC_TPU_XLA_CACHE")
+    os.environ["RUSTIC_TPU_XLA_CACHE"] = (
+        _cache.rstrip("/") + "_tests"
+        if _cache
+        else os.path.expanduser("~/.cache/rustic_tpu_xla_tests")
     )
+    # ... and don't seed the shipped (zstd-compressed) snapshot into it:
+    # zlib-mode test processes can't read zstd entries.
+    os.environ["RUSTIC_TPU_XLA_SEED"] = "0"
 except Exception:
     pass
 

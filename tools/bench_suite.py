@@ -120,6 +120,9 @@ def main():
     ap.add_argument("--scale", type=int, default=16,
                     help="divide each config's spp by this")
     ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--out", default=None,
+                    help="write the results as a JSON artifact (the "
+                         "at-spec record the verdict asks to commit)")
     args = ap.parse_args()
     results = []
     for idx in (int(v) for v in args.configs.split(",")):
@@ -129,11 +132,34 @@ def main():
             r = dict(config=idx, scene=CONFIGS[idx]["scene"], error=str(e))
         print(json.dumps(r), flush=True)
         results.append(r)
+        if args.out:  # persist after EVERY config: partial runs stay
+            _write_out(args.out, results, args.scale)  # on the record
     ok = [r for r in results if "mpaths_per_s" in r]
     print(json.dumps({
         "summary": {r["scene"]: r["mpaths_per_s"] for r in ok},
         "scale": args.scale,
     }))
+
+
+def _write_out(path, results, scale):
+    import subprocess
+
+    try:
+        git = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        git = None
+    with open(path, "w") as f:
+        json.dump({
+            "scale": scale,
+            "measured_at": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
+            "git": git,
+            "configs": results,
+        }, f, indent=1)
 
 
 if __name__ == "__main__":

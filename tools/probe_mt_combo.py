@@ -60,9 +60,25 @@ def main():
         film = render_pixels(scene, config, px, py, args.spp, offsets=offsets)
         return float(np.asarray(film).mean())
 
+    ref_mean = None  # first combo's film mean = the energy reference
+    bad_energy = []
+
+    def check(dma, mt, mean):
+        nonlocal ref_mean
+        if ref_mean is None:
+            ref_mean = mean
+        elif abs(mean - ref_mean) > 2e-3 * max(abs(ref_mean), 1e-6):
+            bad_energy.append((dma, mt, mean))
+            print(
+                f"WARNING: energy regression dma={dma} mt={mt}: "
+                f"film_mean={mean:.6f} vs reference {ref_mean:.6f}",
+                flush=True,
+            )
+
     for dma, mt in combos:
         t0 = time.perf_counter()
         mean = run(dma, mt)
+        check(dma, mt, mean)
         print(
             f"warm dma={dma} mt={mt}: {time.perf_counter()-t0:.1f}s "
             f"film_mean={mean:.6f}", flush=True,
@@ -73,6 +89,7 @@ def main():
             t0 = time.perf_counter()
             mean = run(dma, mt)
             dt = time.perf_counter() - t0
+            check(dma, mt, mean)
             mp = w * h * args.spp / dt / 1e6
             results.setdefault((dma, mt), []).append(mp)
             print(
@@ -82,6 +99,10 @@ def main():
     for (dma, mt), v in results.items():
         print(f"BEST dma={dma} mt={mt}: {max(v):.2f} Mpaths/s "
               f"(all: {[round(x, 2) for x in v]})")
+    if bad_energy:
+        print(f"FAIL: {len(bad_energy)} combo runs deviated in film mean")
+        return 1
+    return 0
 
 
 if __name__ == "__main__":

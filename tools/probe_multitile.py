@@ -16,6 +16,10 @@ combo that loses energy is caught on the spot.
 
 Usage: python tools/probe_multitile.py [--spp 16] [--reps 2]
        [--combos 512:0,256:0,128:0,128:1] [--scene PBRTest]
+
+Each combo is tt:resident[:dma] — the optional third field toggles
+$RUSTIC_DMA_STREAM per run (round 4: the DarkCornell fine-tile repack
+only pays off if the DMA-streamed kernels make culling skip the fetch).
 """
 
 from __future__ import annotations
@@ -49,7 +53,7 @@ def main():
     px = x.reshape(-1).astype(np.int32)
     py = y.reshape(-1).astype(np.int32)
     offsets = pixel_offsets(w, h)
-    combos = [c.split(":") for c in args.combos.split(",")]
+    combos = [(c.split(":") + ["0"])[:3] for c in args.combos.split(",")]
 
     scenes = {}  # tt -> packed device scene
 
@@ -61,35 +65,37 @@ def main():
             ).to_device()
         return scenes[tt]
 
-    def run(tt, res):
+    def run(tt, res, dma):
         os.environ["RUSTIC_TT"] = str(tt)
         os.environ["RUSTIC_RESIDENT"] = str(res)
+        os.environ["RUSTIC_DMA_STREAM"] = str(dma)
         film = render_pixels(
             get_scene(int(tt)), config, px, py, args.spp, offsets=offsets
         )
         return float(np.asarray(film).mean())
 
-    for tt, res in combos:
+    for tt, res, dma in combos:
         t0 = time.perf_counter()
-        mean = run(tt, res)
+        mean = run(tt, res, dma)
         print(
-            f"warm tt={tt} res={res}: {time.perf_counter()-t0:.1f}s "
-            f"film_mean={mean:.6f}", flush=True,
+            f"warm tt={tt} res={res} dma={dma}: "
+            f"{time.perf_counter()-t0:.1f}s film_mean={mean:.6f}",
+            flush=True,
         )
     results = {}
     for r in range(args.reps):
-        for tt, res in combos:
+        for tt, res, dma in combos:
             t0 = time.perf_counter()
-            mean = run(tt, res)
+            mean = run(tt, res, dma)
             dt = time.perf_counter() - t0
             mp = w * h * args.spp / dt / 1e6
-            results.setdefault((tt, res), []).append(mp)
+            results.setdefault((tt, res, dma), []).append(mp)
             print(
-                f"rep{r} tt={tt} res={res}: {dt:.2f}s {mp:.2f} Mpaths/s "
-                f"film_mean={mean:.6f}", flush=True,
+                f"rep{r} tt={tt} res={res} dma={dma}: {dt:.2f}s "
+                f"{mp:.2f} Mpaths/s film_mean={mean:.6f}", flush=True,
             )
-    for (tt, res), v in results.items():
-        print(f"BEST tt={tt} res={res}: {max(v):.2f} Mpaths/s "
+    for (tt, res, dma), v in results.items():
+        print(f"BEST tt={tt} res={res} dma={dma}: {max(v):.2f} Mpaths/s "
               f"(all: {[round(x, 2) for x in v]})")
 
 
