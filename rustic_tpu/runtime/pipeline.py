@@ -1225,7 +1225,8 @@ def _render_batch_kernelshade(
 
 
 @functools.lru_cache(maxsize=16)
-def _stages_ks_mt(cfg: StaticConfig, fold: int = 1, edge_margin: float = 0.0):
+def _stages_ks_mt(cfg: StaticConfig, fold: int = 1, edge_margin: float = 0.0,
+                  resolve: str = "row"):
     """Stage set for the MULTI-TILE Mosaic-shade driver
     (_render_batch_ks_multitile): per bounce the device runs exactly
     four programs — [nearest kernel] -> [resolve XLA] -> [shade kernel]
@@ -1245,13 +1246,12 @@ def _stages_ks_mt(cfg: StaticConfig, fold: int = 1, edge_margin: float = 0.0):
 
     # Row-gather resolve: ONE [B, W] gather + relayout instead of ~50
     # field-wise [B] gathers (per-row gather latency dominates at
-    # megabatch; see resolve.resolve_attrs_rowT). $RUSTIC_RESOLVE=field
-    # keeps the field-wise form for A/B probes.
-    resolve_fn = (
-        resolve_attrs_t
-        if os.environ.get("RUSTIC_RESOLVE", "row") == "field"
-        else resolve_attrs_rowT
-    )
+    # megabatch; see resolve.resolve_attrs_rowT). `resolve` is part of
+    # the lru_cache key: the $RUSTIC_RESOLVE env is read per driver
+    # invocation at the call site, so in-process A/B toggles take
+    # effect (the round-4 advisor flagged the frozen-at-first-call
+    # footgun when the env was read here).
+    resolve_fn = resolve_attrs_t if resolve == "field" else resolve_attrs_rowT
 
     initk, finishk = _stages_kernelshade(cfg, fold=fold)
 
@@ -1389,7 +1389,8 @@ def _render_batch_ks_multitile(
     for k in range(0, n_samples, fold):
         g = min(fold, n_samples - k)
         initk, finishk, resolvek, sortk = _stages_ks_mt(
-            cfg, fold=g, edge_margin=margin
+            cfg, fold=g, edge_margin=margin,
+            resolve=os.environ.get("RUSTIC_RESOLVE", "row"),
         )
         pxg, pyg, offg = (
             tiled if g == fold else _tile_inputs((px, py, offsets), g)

@@ -35,9 +35,13 @@ try:  # pragma: no cover - environment workaround
     # header), so zlib-written entries are NOT readable by zstd-mode
     # processes: keep the tests' cache strictly separate from any
     # TPU/bench cache, including a user-exported one.
+    # "0" is the documented cache-DISABLE sentinel (rustic_tpu/__init__
+    # checks `_cache_dir != "0"`): preserve it instead of rewriting it
+    # to a relative "0_tests" directory that silently re-enables caching.
     _cache = os.environ.get("RUSTIC_TPU_XLA_CACHE")
     os.environ["RUSTIC_TPU_XLA_CACHE"] = (
-        _cache.rstrip("/") + "_tests"
+        "0" if _cache == "0"
+        else _cache.rstrip("/") + "_tests"
         if _cache
         else os.path.expanduser("~/.cache/rustic_tpu_xla_tests")
     )

@@ -116,6 +116,52 @@ def test_ks_mt_hdr_skybox_payoff(monkeypatch):
     assert film[:, 0].max() > 0.01, "no sky energy reached the film"
 
 
+def test_ks_singletile_hdr_skybox_payoff(cornell_world, monkeypatch):
+    """SINGLE-tile twin of test_ks_mt_hdr_skybox_payoff (the round-4
+    advisor flagged that shade_kernel.supported() dropped the
+    has_skybox gate, making the single-tile kernel-shade driver newly
+    reachable for HDR-skybox scenes with only the MT path tested):
+    the kernel skips its in-kernel procedural-sky payoff and the XLA
+    _hdr_sky_payoff collects throughput * image_sky on missed lanes.
+    DarkCornell's open front lets bounced paths escape, so misses
+    carry real energy and the equality is non-vacuous."""
+    from rustic_tpu.config import NextEventEstimation, TracingConfig
+    from rustic_tpu.ops import shade_kernel as SK
+    from rustic_tpu.runtime.render import pixel_offsets
+
+    sky = np.zeros((16, 32, 4), np.float32)
+    sky[6:10, :, 0] = 4.0  # bright red band: misses must light up red
+    sky[:, :, 1] = 0.25
+    sky[:, :, 3] = 1.0
+    scene = cornell_world.to_device(sky)
+    config = TracingConfig(
+        width=32, height=16, nee=NextEventEstimation.MIS, has_skybox=True
+    )
+    assert SK.supported(scene, config.static_part(), False, 32 * 16)
+    calls = []
+    real = P._render_batch_kernelshade
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(P, "_render_batch_kernelshade", spy)
+    cfg, cam = config.static_part(), config.dynamic_part()
+    y, x = np.mgrid[0:16, 0:32]
+    px = jnp.asarray(x.reshape(-1), jnp.int32)
+    py = jnp.asarray(y.reshape(-1), jnp.int32)
+    off = jnp.asarray(pixel_offsets(32, 16))
+    films = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("RUSTIC_SHADE_KERNEL", flag)
+        films[flag] = np.asarray(
+            P.render_batch_staged(scene, cfg, cam, px, py, off, 0, 3)
+        )
+    assert calls, "single-tile kernel-shade driver was not dispatched"
+    np.testing.assert_allclose(films["1"], films["0"], rtol=2e-3, atol=2e-4)
+    assert films["1"][:, 0].max() > 0.01, "no sky energy reached the film"
+
+
 @pytest.mark.slow
 def test_ks_mt_matches_raysorted_breaktime_hdr(monkeypatch):
     """BASELINE config #5's exact shape: BreakTime WITH its committed

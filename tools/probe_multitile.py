@@ -53,7 +53,10 @@ def main():
     px = x.reshape(-1).astype(np.int32)
     py = y.reshape(-1).astype(np.int32)
     offsets = pixel_offsets(w, h)
-    combos = [(c.split(":") + ["0"])[:3] for c in args.combos.split(",")]
+    # Omitted :dma field defaults to "1" — DMA streaming is the shipping
+    # default since round 4, so a bare "512:0" combo measures the real
+    # default config rather than silently forcing DMA off.
+    combos = [(c.split(":") + ["1"])[:3] for c in args.combos.split(",")]
 
     scenes = {}  # tt -> packed device scene
 
