@@ -35,8 +35,36 @@ SCENES = os.path.join(REPO, "assets", "scenes")
 REF = os.path.join(REPO, "assets", "reference")
 
 
+RESULTS = []
+OUT_PATH = None  # set from --out; emit() then persists incrementally
+
+
 def emit(**kw):
     print(json.dumps(kw), flush=True)
+    RESULTS.append(kw)
+    if OUT_PATH:
+        _write_out(OUT_PATH)
+
+
+def _write_out(path):
+    """Persist every emitted line as one committable artifact (the
+    QUALITY_rN.json record the round-4 verdict asks for), rewritten
+    after every case so partial runs stay on the record."""
+    import subprocess
+
+    try:
+        git = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        git = None
+    with open(path, "w") as f:
+        json.dump({
+            "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "git": git,
+            "results": RESULTS,
+        }, f, indent=1)
 
 
 def furnace_matrix(spp):
@@ -71,6 +99,18 @@ FILM_CASES = [
      dict(cam_position=(0.0, 2.2, -6.5), cam_rotation=(0.15, 0.0))),
     ("BreakTime.glb", "BreakTimeSky.npy", "breaktime_256x144_1024spp.npy",
      1024, dict(cam_position=(0.0, 1.8, -3.2), has_skybox=True)),
+    # At-SPEC-resolution ground truths (tools/make_reference_films.py,
+    # BVH-oracle engine; round-4 verdict weakness 7 — BASELINE.md's
+    # gate is defined at the config resolutions). Film size is parsed
+    # from the filename; cases whose film is absent emit
+    # "reference film missing" and are skipped.
+    ("DarkCornell.glb", None, "darkcornell_512x512_256spp.npy", 256, {}),
+    ("GlassTest.glb", None, "glasstest_512x512_256spp.npy", 256,
+     dict(cam_position=(0.0, 2.2, -6.5), cam_rotation=(0.15, 0.0))),
+    ("VeachMIS.glb", None, "veachmis_1024x1024_128spp.npy", 128,
+     dict(cam_position=(5.0, 3.0, -10.0), cam_rotation=(0.25, 0.05))),
+    ("BreakTime.glb", "BreakTimeSky.npy", "breaktime_1920x1080_64spp.npy",
+     64, dict(cam_position=(0.0, 1.8, -3.2), has_skybox=True)),
 ]
 
 
@@ -99,7 +139,8 @@ def film_rmse(cases):
             load_skybox_image(os.path.join(SCENES, sky)) if sky else None
         )
         scene = World.from_path(os.path.join(SCENES, name)).to_device(skybox)
-        config = TracingConfig(width=256, height=144, nee=nee, **kw)
+        w, h = (int(v) for v in ref_file.split("_")[1].split("x"))
+        config = TracingConfig(width=w, height=h, nee=nee, **kw)
         t0 = time.time()
         film = np.asarray(
             render_image(scene, config, RenderSettings(samples=spp))
@@ -108,7 +149,8 @@ def film_rmse(cases):
         d = film - ref
         rmse = float(np.sqrt((d * d).mean()))
         emit(
-            gate="rmse", scene=name, spp=spp, wall_s=round(wall, 1),
+            gate="rmse", scene=name, size=f"{w}x{h}", spp=spp,
+            wall_s=round(wall, 1),
             rmse=round(rmse, 6), target="<1e-3", ok=bool(rmse < 1e-3),
             rel_energy=round(
                 float(abs(film.mean() - ref.mean()) / max(ref.mean(), 1e-9)),
@@ -123,7 +165,12 @@ def main():
     ap.add_argument("--furnace-spp", type=int, default=512)
     ap.add_argument("--cases", default="all")
     ap.add_argument("--skip-furnace", action="store_true")
+    ap.add_argument("--out", default=None,
+                    help="write all emitted results as a JSON artifact")
     args = ap.parse_args()
+
+    global OUT_PATH
+    OUT_PATH = args.out
 
     import jax
 
