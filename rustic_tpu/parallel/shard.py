@@ -124,7 +124,10 @@ def render_sharded_staged(
     single-program slow path. Paths are independent (SURVEY §2: the
     reference kernel has no inter-thread communication,
     kernels/src/lib.rs:209-226), so the only cross-device ops are the
-    input shard and the final gather. Returns the mean film [H, W, 3].
+    input shard and the final gather. A ('px','spp') mesh (make_mesh)
+    additionally splits the sample range over 'spp' — samples must
+    divide evenly — with a per-group film psum (pipeline._stages).
+    Returns the mean film [H, W, 3].
     """
     from jax.sharding import NamedSharding
 

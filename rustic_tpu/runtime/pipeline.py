@@ -250,6 +250,25 @@ def _don(donate):
     return donate if _DONATE else ()
 
 
+def _spp_size(mesh) -> int:
+    """Size of the mesh's sample-parallel ('spp') axis; 1 = pure pixel
+    data parallelism (a ('px',) mesh or no mesh)."""
+    if mesh is None or "spp" not in mesh.axis_names:
+        return 1
+    return int(mesh.shape["spp"])
+
+
+def _lane_spec(mesh):
+    """PartitionSpec for per-lane (tiled) arrays. On a ('px','spp')
+    mesh the lane dim shards over BOTH axes: the driver tiles inputs by
+    fold == |spp| (exactly the single-device sample-fold layout), so
+    consecutive lane blocks are fold groups and P(('spp','px')) gives
+    each device one sample-group x pixel-shard chunk. The film itself
+    stays P('px') (replicated over 'spp'); finish psums the fold
+    groups' radiance over 'spp' before the add."""
+    return _P(("spp", "px")) if _spp_size(mesh) > 1 else _P("px")
+
+
 def _jit_stage(fn, donate, mesh, in_specs, out_specs):
     """jit a stage function, shard_mapping it over `mesh` first when one
     is given (multi-chip mode: every per-lane array data-parallel over
@@ -281,7 +300,7 @@ class _Kernels:
         self.occlude_packed = functools.partial(flash_occlude_packed, **kw)
         if mesh is None:
             return
-        S, R = _P("px"), _P()
+        S, R = _lane_spec(mesh), _P()
 
         def sm(fn, n_lane, n_scene, n_out):
             out = (S,) * n_out if n_out > 1 else S
@@ -316,14 +335,39 @@ def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1,
     the per-sample slabs back into the [B]-pixel film.
 
     `mesh` shard_maps every stage over its 'px' axis (lane arrays
-    data-parallel, scene replicated); fold must be 1 there — tiled
-    fold copies would straddle shard boundaries.
+    data-parallel, scene replicated). A ('px','spp') mesh additionally
+    splits the SAMPLE range: fold must equal |spp|, the tiled fold
+    groups shard over the 'spp' axis (P(('spp','px')) — each device
+    owns one sample-group x pixel-shard chunk), each spp-peer's sample
+    index comes from lax.axis_index('spp'), and finish psums the
+    groups' radiance over 'spp' into the px-sharded film. This is the
+    multi-chip form of the reference's sequential sync_rate re-dispatch
+    (src/trace.rs:179-195): samples are independent, so the only
+    collective is the final film psum. On a plain ('px',) mesh fold
+    must be 1 — tiled fold copies would straddle shard boundaries.
     """
-    assert mesh is None or fold == 1, "sample folding is single-device"
-    S, R = _P("px"), _P()
+    spp = _spp_size(mesh)
+    assert mesh is None or fold == spp, (
+        "mesh mode: fold must equal the mesh's spp-axis size "
+        f"(fold={fold}, spp={spp})"
+    )
+    S, R = _lane_spec(mesh), _P()
+    F = _P("px") if mesh is not None else S  # film: px-sharded, spp-repl
 
     def init(cam, px, py, sample_idx, offsets):
-        sidx = _fold_sample_idx(sample_idx, px.shape[0], fold)
+        if spp > 1:
+            # Lane block g (of fold == |spp|) is spp-peer g's sample:
+            # the global [fold*B] tiled layout under P(('spp','px'))
+            # puts block g on spp index g, so the local sample index is
+            # sample_idx + axis_index('spp') — the same decomposition
+            # _fold_sample_idx gives single-device.
+            sidx = jnp.broadcast_to(
+                sample_idx
+                + jax.lax.axis_index("spp").astype(jnp.uint32),
+                (px.shape[0],),
+            )
+        else:
+            sidx = _fold_sample_idx(sample_idx, px.shape[0], fold)
         st = trace_mod.init_state(cfg, cam, px, py, sidx, offsets)
         feats = _ray_features16(st.ro, st.rd)
         # ro/rd ride ONLY in the packed ray features between stages
@@ -334,9 +378,11 @@ def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1,
         # the miss-time ray bit-exactly.
         return st._replace(ro=None, rd=None), feats, sidx
 
-    # In mesh mode sidx is the replicated scalar sample index (fold=1).
+    # In px-only mesh mode sidx is the replicated scalar sample index
+    # (fold=1); with an spp axis it is a lane array (distinct per peer).
     init = _jit_stage(
-        init, (), mesh, in_specs=(R, S, S, R, S), out_specs=(S, S, R)
+        init, (), mesh, in_specs=(R, S, S, R, S),
+        out_specs=(S, S, S if spp > 1 else R),
     )
 
     def make_pre(bounce: int, last: bool):
@@ -403,18 +449,25 @@ def _stages(cfg: StaticConfig, trust_kernel: bool = False, fold: int = 1,
 
         return _jit_stage(
             pre, (2, 3, 4, 5, 6, 7, 8, 9, 10, 11), mesh,
-            in_specs=(R, R, S, S, S, S, S, S, S, S, S, S, R, S),
+            in_specs=(R, R, S, S, S, S, S, S, S, S, S, S,
+                      S if spp > 1 else R, S),
             out_specs=(S, S, S),
         )
 
     def finish(radiance, prev_nee, prev_occ, film):
         radiance = _fold_slim_nee(radiance, prev_nee, prev_occ)
-        if fold > 1:
+        if fold > 1 and spp == 1:
             radiance = radiance.reshape(fold, film.shape[0], 3).sum(axis=0)
+        if spp > 1:
+            # The fold dim is sharded over 'spp' (one group per peer):
+            # the cross-group sum IS the collective. After it, every
+            # peer adds the identical total, keeping the px-sharded
+            # film's spp replication consistent.
+            radiance = jax.lax.psum(radiance, "spp")
         return film + radiance
 
     finish = _jit_stage(
-        finish, (0, 1, 2, 3), mesh, in_specs=(S, S, S, S), out_specs=S
+        finish, (0, 1, 2, 3), mesh, in_specs=(S, S, S, F), out_specs=F
     )
 
     pres = [
@@ -1002,7 +1055,16 @@ def render_batch_staged(
                 scene, cfg, cam, px, py, offsets, sample_start, n_samples,
                 film, bt, interpret, prec,
             )
-    fold = 1 if mesh is not None else pick_sample_fold(px.shape[0], n_samples)
+    if mesh is not None:
+        # A ('px','spp') mesh renders |spp| samples per group in
+        # parallel via the fold layout (see _stages); sample counts
+        # must tile evenly, callers pad/validate (render_sharded_staged).
+        fold = _spp_size(mesh)
+        assert n_samples % fold == 0, (
+            f"n_samples={n_samples} not divisible by spp axis {fold}"
+        )
+    else:
+        fold = pick_sample_fold(px.shape[0], n_samples)
     tiled = _tile_inputs((px, py, offsets), fold)
     # Single-tile scenes with a bit-exact attr split get the winner's
     # shading row straight from the kernel (no consumer gather). Guarded
@@ -1656,6 +1718,12 @@ def _render_batch_sorted(
     windows (schedule under-predicted: possible but ~never, the margin
     is ~100 sigma of the binomial lane-count noise) are re-rendered
     uncompacted, so compaction can never bias the image."""
+    if _spp_size(mesh) > 1:
+        raise NotImplementedError(
+            "sorted staged driver: the sample-parallel ('spp') mesh axis"
+            " is wired only for the unsorted single-tile path (_stages);"
+            " use a ('px',) mesh for multi-tile scenes"
+        )
     g16 = scene.tri_feats16
     K = _Kernels(bt, interpret, prec, mesh)
     fold = (

@@ -108,6 +108,38 @@ def test_sharded_staged_matches_single_device(cornell_scene, cfg):
     np.testing.assert_allclose(multi, single, rtol=1e-5, atol=1e-6)
 
 
+def test_sharded_staged_px_spp_mesh(cornell_scene, cfg):
+    """The STAGED pipeline on a ('px','spp') mesh (round-4 verdict item
+    10): sample groups shard over 'spp' via the fold layout
+    (pipeline._stages), pixels over 'px', per-group film psum over
+    'spp'. Must equal the single-device staged render — identical
+    sample set, different decomposition (summation order differs only
+    at the psum, hence the loose-ish tolerance)."""
+    from rustic_tpu.parallel.shard import render_sharded_staged
+    from rustic_tpu.runtime import pipeline as P
+    from rustic_tpu.runtime.render import pixel_offsets
+
+    settings = RenderSettings(samples=4)
+    w, h = cfg.width, cfg.height
+    y, x = np.mgrid[0:h, 0:w]
+    px = jnp.asarray(x.reshape(-1), jnp.int32)
+    py = jnp.asarray(y.reshape(-1), jnp.int32)
+    offsets = jnp.asarray(pixel_offsets(w, h, settings.use_blue_noise))
+    single = np.asarray(
+        P.render_batch_staged(
+            cornell_scene, cfg.static_part(), cfg.dynamic_part(),
+            px, py, offsets, 0, settings.samples,
+        )
+    ).reshape(h, w, 3) / settings.samples
+
+    for spp_par in (2, 4):
+        mesh = make_mesh(spp_parallel=spp_par)
+        multi = render_sharded_staged(
+            cornell_scene, cfg, settings, mesh=mesh
+        )
+        np.testing.assert_allclose(multi, single, rtol=2e-5, atol=2e-6)
+
+
 @pytest.mark.slow  # mesh renders
 def test_sharded_staged_sorted_path(furnace_scene):
     """Multi-tile scene -> the sorted staged driver under the mesh (per
