@@ -44,19 +44,60 @@ CASES = [
 ]
 
 
+def render_oracle_chunked(scene, config, spp, engine="bvh",
+                          spp_chunk=8, px_chunk=1 << 17):
+    """Oracle render in SHORT dispatches: the lockstep-BVH while_loop at
+    full spp in one program is minutes of device time in a single
+    dispatch — observed to crash the axon TPU worker ("TPU worker
+    process crashed", 2026-08-21, VeachMIS 256x144x1024). Chunk the
+    sample range (and the pixel set) so each dispatch stays seconds,
+    hard-syncing every chunk. Returns the mean film [H, W, 3]."""
+    import jax.numpy as jnp
+
+    from rustic_tpu.runtime.render import pixel_offsets, render_pixels
+
+    w, h = config.width, config.height
+    y, x = np.mgrid[0:h, 0:w]
+    px = x.reshape(-1).astype(np.int32)
+    py = y.reshape(-1).astype(np.int32)
+    # HASH offsets (RenderSettings.use_blue_noise default) — the gate's
+    # re-render must integrate the IDENTICAL sample set; pixel_offsets'
+    # own default is blue noise, which silently breaks the same-seed
+    # methodology (cost one wasted 1024-spp comparison this round).
+    offsets = pixel_offsets(w, h, use_blue_noise=False)
+    n_px = w * h
+    chunk = min(px_chunk, n_px)
+    pad = (-n_px) % chunk
+    if pad:
+        px, py = np.pad(px, (0, pad)), np.pad(py, (0, pad))
+        offsets = np.pad(offsets, (0, pad))
+    out = np.empty((n_px + pad, 3), np.float32)
+    for lo in range(0, n_px + pad, chunk):
+        hi = lo + chunk
+        film = jnp.zeros((chunk, 3), jnp.float32)
+        for s0 in range(0, spp, spp_chunk):
+            film = render_pixels(
+                scene, config, px[lo:hi], py[lo:hi],
+                min(spp_chunk, spp - s0), offsets=offsets[lo:hi],
+                sample_start=s0, engine=engine, film_in=film,
+            )
+            np.asarray(film[:1])  # hard sync: keep dispatches short
+        out[lo:hi] = np.asarray(film)
+    return (out[:n_px] / max(spp, 1)).reshape(h, w, 3)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cases", default="all")
     ap.add_argument("--engine", default="bvh",
                     help="oracle engine (bvh = lockstep traversal)")
+    ap.add_argument("--spp-chunk", type=int, default=8)
     args = ap.parse_args()
 
     from rustic_tpu.config import (
         NextEventEstimation,
-        RenderSettings,
         TracingConfig,
     )
-    from rustic_tpu.runtime.render import render_image
     from rustic_tpu.scene.world import World, load_skybox_image
 
     cases = CASES
@@ -78,11 +119,9 @@ def main():
             width=w, height=h, nee=NextEventEstimation.MIS, **cfg_kw
         )
         t0 = time.time()
-        film = np.asarray(
-            render_image(
-                scene, config, RenderSettings(samples=spp),
-                engine=args.engine,
-            )
+        film = render_oracle_chunked(
+            scene, config, spp, engine=args.engine,
+            spp_chunk=args.spp_chunk,
         )
         wall = time.time() - t0
         assert np.isfinite(film).all(), f"{stem}: non-finite radiance"
