@@ -165,26 +165,60 @@ def pbr_pdf_lobe(mat: PBRMaterial, view, normal, light, lobe_is_specular=False):
     return _pdf_specular(view, normal, halfway, d_term)
 
 
+def material_tex_rect(has_tex, albedo_slot, metal_slot, rough_slot,
+                      norm_slot):
+    """The material's shared atlas rect: every textured map of a
+    material lands at ONE co-located cell (scene/atlas.py
+    pack_material_textures), so any textured slot holds the rect —
+    pick the first. Untextured lanes yield a constant-color vec4 whose
+    fetch lands on dummy texels and is discarded by the has_tex
+    selects (same dead-fetch semantics the per-map form had)."""
+    return jnp.where(
+        has_tex[..., 0:1] != 0, albedo_slot,
+        jnp.where(
+            has_tex[..., 1:2] != 0, metal_slot,
+            jnp.where(has_tex[..., 2:3] != 0, rough_slot, norm_slot),
+        ),
+    )
+
+
+def material_tex_rows(scene, rect, uv):
+    """ONE bilinear footprint (4 row gathers) over the 9-channel
+    co-located material atlas -> [B, 9] rows serving albedo + metallic
+    + roughness + normal at once. Round-5 textured-path fix: the
+    per-map form cost 4 maps x 4 corners = 16 gathers per bounce, and
+    TPU row gathers are paid PER ROW with width free (PERFORMANCE.md
+    round-2), which bound BreakTime at 0.43 Mpaths/s."""
+    return sample_atlas(scene.atlas, rect, uv)
+
+
 def get_pbr_material(
     scene, mat_idx: jnp.ndarray, uv: jnp.ndarray, specular_weight_clamp
 ) -> PBRMaterial:
     """Assemble per-lane PBR parameters, fetching atlas texels where the
     material is textured (reference: kernels/src/bsdf.rs:354-387)."""
+    from rustic_tpu.scene.atlas import CH_ALBEDO, CH_METAL, CH_ROUGH
+
     has_tex = scene.mat_has_tex[mat_idx]  # [B, 4]
-
     albedo_slot = scene.mat_albedo[mat_idx]
-    albedo_tex = sample_atlas(scene.atlas, albedo_slot, uv)[..., :3]
-    albedo = jnp.where(
-        has_tex[..., 0:1] != 0, albedo_tex, albedo_slot[..., :3]
-    )
-
     rough_slot = scene.mat_roughness[mat_idx]
-    rough_tex = sample_atlas(scene.atlas, rough_slot, uv)[..., 0]
-    roughness = jnp.where(has_tex[..., 2] != 0, rough_tex, rough_slot[..., 0])
-
     metal_slot = scene.mat_metallic[mat_idx]
-    metal_tex = sample_atlas(scene.atlas, metal_slot, uv)[..., 0]
-    metallic = jnp.where(has_tex[..., 1] != 0, metal_tex, metal_slot[..., 0])
+    rect = material_tex_rect(
+        has_tex, albedo_slot, metal_slot, rough_slot,
+        scene.mat_normals[mat_idx],
+    )
+    rows = material_tex_rows(scene, rect, uv)
+
+    albedo = jnp.where(
+        has_tex[..., 0:1] != 0, rows[..., CH_ALBEDO][..., :3],
+        albedo_slot[..., :3],
+    )
+    roughness = jnp.where(
+        has_tex[..., 2] != 0, rows[..., CH_ROUGH], rough_slot[..., 0]
+    )
+    metallic = jnp.where(
+        has_tex[..., 1] != 0, rows[..., CH_METAL], metal_slot[..., 0]
+    )
 
     # NaN-avoidance clamps (reference: kernels/src/bsdf.rs:377-379)
     roughness = jnp.maximum(roughness, s.EPS)
@@ -198,13 +232,20 @@ def get_pbr_material(
 
 
 def material_from_attrs(
-    scene, attrs: jnp.ndarray, uv: jnp.ndarray, specular_weight_clamp
+    scene, attrs: jnp.ndarray, uv: jnp.ndarray, specular_weight_clamp,
+    tex_rows=None,
 ) -> PBRMaterial:
     """PBR parameters from the packed per-triangle shading row
     (scene/world.py ATTR_*) — the gather-free twin of get_pbr_material.
     Atlas fetches only happen for scenes that actually carry textures
-    (static flag), mirroring kernels/src/bsdf.rs:354-387 semantics."""
+    (static flag), mirroring kernels/src/bsdf.rs:354-387 semantics.
+
+    `tex_rows` ([B, 9] co-located material rows) lets the caller share
+    ONE bilinear footprint between normal mapping and the material
+    (trace.bounce_pre hoists it); when None and the scene is textured,
+    the fetch happens here."""
     from rustic_tpu.scene import world as W
+    from rustic_tpu.scene.atlas import CH_ALBEDO, CH_METAL, CH_ROUGH
 
     albedo = W.attr_albedo3(attrs)
     roughness = W.attr_rough_scalar(attrs)
@@ -212,16 +253,22 @@ def material_from_attrs(
     if scene.has_textures:
         # textured scenes always carry full-width rows (slim tables are
         # built only for untextured scenes, scene/world.py)
-        albedo_slot = attrs[:, W.ATTR_ALBEDO]
-        rough_slot = attrs[:, W.ATTR_ROUGH]
-        metal_slot = attrs[:, W.ATTR_METAL]
         has_tex = attrs[:, W.ATTR_HASTEX]
-        albedo_tex = sample_atlas(scene.atlas, albedo_slot, uv)[..., :3]
-        albedo = jnp.where(has_tex[:, 0:1] != 0, albedo_tex, albedo)
-        rough_tex = sample_atlas(scene.atlas, rough_slot, uv)[..., 0]
-        roughness = jnp.where(has_tex[:, 2] != 0, rough_tex, roughness)
-        metal_tex = sample_atlas(scene.atlas, metal_slot, uv)[..., 0]
-        metallic = jnp.where(has_tex[:, 1] != 0, metal_tex, metallic)
+        if tex_rows is None:
+            rect = material_tex_rect(
+                has_tex, attrs[:, W.ATTR_ALBEDO], attrs[:, W.ATTR_METAL],
+                attrs[:, W.ATTR_ROUGH], attrs[:, W.ATTR_NORMTEX],
+            )
+            tex_rows = material_tex_rows(scene, rect, uv)
+        albedo = jnp.where(
+            has_tex[:, 0:1] != 0, tex_rows[..., CH_ALBEDO][..., :3], albedo
+        )
+        roughness = jnp.where(
+            has_tex[:, 2] != 0, tex_rows[..., CH_ROUGH], roughness
+        )
+        metallic = jnp.where(
+            has_tex[:, 1] != 0, tex_rows[..., CH_METAL], metallic
+        )
 
     roughness = jnp.maximum(roughness, s.EPS)
     metallic = jnp.minimum(metallic, 1.0 - s.EPS)

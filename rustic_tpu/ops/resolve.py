@@ -194,9 +194,28 @@ def _textured_rows(cols, atlas, featsT, idx, edge_margin):
 
     has_tex = cols(range(W.ATTR_HASTEX.start, W.ATTR_HASTEX.stop))
 
+    # ONE bilinear footprint over the co-located 9-channel material
+    # atlas serves normal map + albedo + rough + metal (round-5
+    # textured-path fix; scene/atlas.pack_material_textures — every
+    # textured slot of a material holds the SAME rect, pick the first)
+    from rustic_tpu.scene.atlas import CH_ALBEDO, CH_METAL, CH_NORMAL, CH_ROUGH
+
+    ht = jnp.stack(has_tex, axis=-1)
+    rect = jnp.where(
+        ht[..., 0:1] != 0, slot(W.ATTR_ALBEDO),
+        jnp.where(
+            ht[..., 1:2] != 0, slot(W.ATTR_METAL),
+            jnp.where(
+                ht[..., 2:3] != 0, slot(W.ATTR_ROUGH),
+                slot(W.ATTR_NORMTEX),
+            ),
+        ),
+    )
+    tex_rows = sample_atlas(atlas, rect, uv)
+
     # normal mapping (kernels/src/lib.rs:131-141)
     has_nm = has_tex[3] != 0
-    nm = sample_atlas(atlas, slot(W.ATTR_NORMTEX), uv) * 2.0 - 1.0
+    nm = tex_rows[..., CH_NORMAL] * 2.0 - 1.0
     tan_rows = cols(range(18, 27))
     tangent = blend3(tan_rows)
     bitangent = _cross(tangent, normal)
@@ -215,22 +234,20 @@ def _textured_rows(cols, atlas, featsT, idx, edge_margin):
     # material scalars (bsdf.material_from_attrs parity; the kernel
     # applies the EPS clamps itself, so raw resolved values ship)
     alb_slot = slot(W.ATTR_ALBEDO)
-    albedo_tex = sample_atlas(atlas, alb_slot, uv)
     albedo = tuple(
-        jnp.where(has_tex[0] != 0, albedo_tex[..., k], alb_slot[..., k])
+        jnp.where(
+            has_tex[0] != 0, tex_rows[..., CH_ALBEDO][..., k],
+            alb_slot[..., k],
+        )
         for k in range(3)
     )
-    rough_slot = slot(W.ATTR_ROUGH)
     rough = jnp.where(
-        has_tex[2] != 0,
-        sample_atlas(atlas, rough_slot, uv)[..., 0],
-        rough_slot[..., 0],
+        has_tex[2] != 0, tex_rows[..., CH_ROUGH],
+        slot(W.ATTR_ROUGH)[..., 0],
     )
-    metal_slot = slot(W.ATTR_METAL)
     metal = jnp.where(
-        has_tex[1] != 0,
-        sample_atlas(atlas, metal_slot, uv)[..., 0],
-        metal_slot[..., 0],
+        has_tex[1] != 0, tex_rows[..., CH_METAL],
+        slot(W.ATTR_METAL)[..., 0],
     )
 
     emis = cols(range(W.ATTR_EMISSIVE.start, W.ATTR_EMISSIVE.stop))

@@ -10,7 +10,14 @@ image_polyfill.rs:33-35); we standardize on the GPU behavior.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
+
+# Probe-only knob: collapse bilinear to the nearest texel (1 gather per
+# lookup instead of 4). NOT a product mode — it bounds how much of the
+# textured path's cost is gather count (tools/probe_tex.py, round 5).
+_NEAREST = os.environ.get("RUSTIC_TEX_NEAREST", "0") == "1"
 
 
 def sample_bilinear(
@@ -55,6 +62,10 @@ def sample_bilinear(
         y0 = jnp.clip(y0, 0, h - 1)
         y1 = jnp.clip(y1, 0, h - 1)
 
+    if _NEAREST:
+        xn = jnp.where(frac[..., 0] < 0.5, x0, x1)
+        yn = jnp.where(frac[..., 1] < 0.5, y0, y1)
+        return flat[yn * w + xn]
     c00 = flat[y0 * w + x0]
     c10 = flat[y0 * w + x1]
     c01 = flat[y1 * w + x0]

@@ -271,11 +271,21 @@ def bounce_pre(
 
     # ---- normal mapping (kernels/src/lib.rs:131-141) -----------------------
     # (statically skipped for scenes without any texture maps)
+    tex_rows = None
     if scene.has_textures:
-        has_nm = attrs[:, W.ATTR_HASTEX][:, 3] != 0
-        nm = (
-            sample_atlas(scene.atlas, attrs[:, W.ATTR_NORMTEX], uv) * 2.0 - 1.0
+        from rustic_tpu.scene.atlas import CH_NORMAL
+
+        # ONE bilinear footprint over the co-located 9-channel material
+        # atlas serves normal mapping AND the BSDF maps below (round-5
+        # textured-path fix; see scene/atlas.pack_material_textures)
+        has_tex = attrs[:, W.ATTR_HASTEX]
+        rect = bsdf_mod.material_tex_rect(
+            has_tex, attrs[:, W.ATTR_ALBEDO], attrs[:, W.ATTR_METAL],
+            attrs[:, W.ATTR_ROUGH], attrs[:, W.ATTR_NORMTEX],
         )
+        tex_rows = bsdf_mod.material_tex_rows(scene, rect, uv)
+        has_nm = has_tex[:, 3] != 0
+        nm = tex_rows[..., CH_NORMAL] * 2.0 - 1.0
         tan = attrs[:, W.ATTR_TAN]
         tangent = w_a * tan[:, 0:3] + w_b * tan[:, 3:6] + w_c * tan[:, 6:9]
         bitangent = s.cross(tangent, normal)
@@ -288,7 +298,7 @@ def bounce_pre(
 
     # ---- BSDF sample (kernels/src/lib.rs:143-146) --------------------------
     mat = bsdf_mod.material_from_attrs(
-        scene, attrs, uv, cam.specular_weight_clamp
+        scene, attrs, uv, cam.specular_weight_clamp, tex_rows=tex_rows
     )
     r1 = draws[:, 0]
     r2 = draws[:, 1]

@@ -209,7 +209,7 @@ class SceneArrays(struct.PyTreeNode):
     light_pdf_b: jnp.ndarray  # [L] f32
     light_ratio: jnp.ndarray  # [L] f32 (<0 => sentinel)
     # images
-    atlas: jnp.ndarray  # [Ha, Wa, 4] f32
+    atlas: jnp.ndarray  # [Ha, Wa, 9] f32 co-located material maps (scene/atlas.py CH_*)
     skybox: jnp.ndarray  # [Hs, Ws, 4] f32
 
     # static metadata
@@ -384,44 +384,53 @@ class World:
         mat_normals = np.zeros((n_mats, 4), np.float32)
         mat_has_tex = np.zeros((n_mats, 4), np.int32)
 
-        textures: List[np.ndarray] = []
-        slots = []  # (material_index, field) in texture load order
+        mat_maps: List[dict] = []
         for mi, m in enumerate(gltf.materials):
             mat_albedo[mi] = m.base_color
             mat_roughness[mi] = m.roughness
             mat_metallic[mi] = m.metallic
             mat_emissive[mi] = m.emissive
             mat_transmission[mi] = (m.transmission, m.ior)
-            for field, tex in (
-                ("albedo", m.albedo_texture),
-                ("metallic", m.metallic_texture),
-                ("roughness", m.roughness_texture),
-                ("normal", m.normal_texture),
-            ):
-                if tex is not None:
-                    textures.append(tex)
-                    slots.append((mi, field))
+            mat_maps.append({
+                "albedo": m.albedo_texture,
+                "metallic": m.metallic_texture,
+                "roughness": m.roughness_texture,
+                "normal": m.normal_texture,
+            })
 
-        if textures:
-            atlas_img, sts = atlas_mod.pack_textures(
-                textures, atlas_size, atlas_size
+        if any(v is not None for maps in mat_maps for v in maps.values()):
+            # Co-located 9-channel material atlas: every map of a
+            # material shares ONE rect, so a single bilinear footprint
+            # (4 row gathers) serves albedo+metal+rough+normal — the
+            # round-5 textured-path fix (gather count bound BreakTime
+            # at 0.43 Mpaths/s; see ops/texture.py, PERFORMANCE.md).
+            # The reference packs per-texture rects into an RGBA8 atlas
+            # (src/atlas.rs:26-90); capability is identical, layout is
+            # the TPU-shaped one.
+            atlas_img, mat_uvst = atlas_mod.pack_material_textures(
+                mat_maps, atlas_size, atlas_size
             )
         else:
-            atlas_img, sts = np.zeros((4, 4, 4), np.float32), []
+            atlas_img = np.zeros((4, 4, atlas_mod.ATLAS_CHANNELS), np.float32)
+            mat_uvst = [None] * n_mats
 
-        # Substitute uvst rects into the material color slots
-        # (reference: src/asset.rs:179-192)
+        # Substitute the material's (shared) uvst rect into each
+        # textured field slot (reference: src/asset.rs:179-192 — there
+        # per-texture rects; here one rect per material)
         field_col = {"albedo": 0, "metallic": 1, "roughness": 2, "normal": 3}
-        for (mi, field), uvst in zip(slots, sts):
-            mat_has_tex[mi, field_col[field]] = 1
-            if field == "albedo":
-                mat_albedo[mi] = uvst
-            elif field == "metallic":
-                mat_metallic[mi] = uvst
-            elif field == "roughness":
-                mat_roughness[mi] = uvst
-            else:
-                mat_normals[mi] = uvst
+        for mi, (maps, uvst) in enumerate(zip(mat_maps, mat_uvst)):
+            for field, tex in maps.items():
+                if tex is None:
+                    continue
+                mat_has_tex[mi, field_col[field]] = 1
+                if field == "albedo":
+                    mat_albedo[mi] = uvst
+                elif field == "metallic":
+                    mat_metallic[mi] = uvst
+                elif field == "roughness":
+                    mat_roughness[mi] = uvst
+                else:
+                    mat_normals[mi] = uvst
 
         # ---- BVH (reorders triangles) --------------------------------------
         self.bvh, perm = bvh_mod.build_bvh(self.positions, triangles)

@@ -106,8 +106,16 @@ def test_textured_rows_match_xla_shade_stack(breaktime_scene):
         + w_c[:, 0:1] * uvs[:, 4:6]
     oor = jnp.any((uv < 0.0) | (uv > 1.0), axis=-1, keepdims=True)
     uv = jnp.where(oor, uv - jnp.floor(uv), uv)
-    has_nm = attrs[:, W.ATTR_HASTEX][:, 3] != 0
-    nm = sample_atlas(scene.atlas, attrs[:, W.ATTR_NORMTEX], uv) * 2.0 - 1.0
+    from rustic_tpu.ops.bsdf import material_tex_rect, material_tex_rows
+    from rustic_tpu.scene.atlas import CH_NORMAL
+
+    has_tex = attrs[:, W.ATTR_HASTEX]
+    has_nm = has_tex[:, 3] != 0
+    rect = material_tex_rect(
+        has_tex, attrs[:, W.ATTR_ALBEDO], attrs[:, W.ATTR_METAL],
+        attrs[:, W.ATTR_ROUGH], attrs[:, W.ATTR_NORMTEX],
+    )
+    nm = material_tex_rows(scene, rect, uv)[..., CH_NORMAL] * 2.0 - 1.0
     tan = attrs[:, W.ATTR_TAN]
     tangent = w_a * tan[:, 0:3] + w_b * tan[:, 3:6] + w_c * tan[:, 6:9]
     bitangent = s.cross(tangent, normal)

@@ -88,6 +88,61 @@ def test_atlas_taps_stay_in_cell():
         assert c[0] == 1.0 and c[1] == 0.0, (u, c)
 
 
+def test_material_atlas_colocated_channels():
+    """pack_material_textures: every map of a material lands at the
+    SAME rect, each in its channel group, bilinear-equal to packing
+    that map alone with the per-texture packer (round-5 gather fix)."""
+    import jax.numpy as jnp
+
+    from rustic_tpu.ops.texture import sample_atlas
+    from rustic_tpu.scene.atlas import (
+        CH_ALBEDO,
+        CH_METAL,
+        CH_NORMAL,
+        CH_ROUGH,
+        pack_material_textures,
+        pack_textures,
+    )
+
+    rng = np.random.default_rng(3)
+    albedo = rng.random((16, 16, 4)).astype(np.float32)
+    metal = rng.random((8, 8, 4)).astype(np.float32)
+    normal = rng.random((16, 16, 4)).astype(np.float32)
+    mats = [
+        {"albedo": albedo, "metallic": metal, "roughness": None,
+         "normal": normal},
+        {"albedo": None, "metallic": None, "roughness": None,
+         "normal": None},
+    ]
+    atlas, uvsts = pack_material_textures(mats, 64, 64)
+    assert atlas.shape[-1] == 9
+    assert uvsts[0] is not None and uvsts[1] is None
+
+    uv = jnp.asarray(rng.random((32, 2)), jnp.float32)
+    rect = jnp.broadcast_to(jnp.asarray(uvsts[0]), (32, 4))
+    rows = np.asarray(sample_atlas(jnp.asarray(atlas), rect, uv))
+
+    for tex, ch, width in (
+        (albedo, CH_ALBEDO, 4), (metal, slice(CH_METAL, CH_METAL + 1), 1),
+        (normal, CH_NORMAL, 3),
+    ):
+        solo_atlas, solo_sts = pack_textures([tex], 64, 64)
+        # the solo packer gives the single texture the whole square;
+        # repack at the material cell's size for an exact comparison
+        x = int(round(float(uvsts[0][0]) * 64))
+        y = int(round(float(uvsts[0][1]) * 64))
+        w = int(round(float(uvsts[0][2]) * 64))
+        h = int(round(float(uvsts[0][3]) * 64))
+        from rustic_tpu.scene.atlas import _resize_lanczos
+
+        expect_cell = _resize_lanczos(tex, w, h)[::-1]
+        np.testing.assert_array_equal(
+            atlas[y : y + h, x : x + w, ch], expect_cell[..., :width]
+        )
+        got = rows[..., ch]
+        assert np.isfinite(got).all()
+
+
 def test_equirect_seam_interpolates():
     """The azimuth wrap must blend the first and last panorama columns
     instead of clamping (no vertical seam line)."""

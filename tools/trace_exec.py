@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--width", type=int, default=1280)
     ap.add_argument("--height", type=int, default=720)
     ap.add_argument("--outdir", default="/tmp/rustic_trace")
+    ap.add_argument("--skybox", default=None,
+                    help="HDR sky .npy path (sets has_skybox)")
     ap.add_argument("--inside", default="jit_pre",
                     help="executable to break down at op level ('' = skip)")
     args = ap.parse_args()
@@ -44,9 +46,15 @@ def main():
     from rustic_tpu.scene.world import World
 
     world = World.from_path(args.scene)
-    scene = world.to_device()
+    skybox = None
+    if args.skybox:
+        from rustic_tpu.scene.world import load_skybox_image
+
+        skybox = load_skybox_image(args.skybox)
+    scene = world.to_device(skybox)
     config = TracingConfig(
-        width=args.width, height=args.height, nee=NextEventEstimation.MIS
+        width=args.width, height=args.height, nee=NextEventEstimation.MIS,
+        has_skybox=skybox is not None,
     )
     render_image(scene, config, RenderSettings(samples=args.spp))  # warm
 
