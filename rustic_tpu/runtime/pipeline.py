@@ -1006,11 +1006,13 @@ def render_batch_staged(
     K = _Kernels(bt, interpret, prec, mesh)
     multi_tile = bt != DEF_BT  # pick_bt returns DEF_BT iff single-tile
     if _SORT_PATHS and multi_tile:
-        # "rays" (default): state stays pixel-stationary, only kernel
-        # ray operands permute (~6x less permute traffic per bounce).
+        # "rays": state stays pixel-stationary, only kernel ray
+        # operands permute (~6x less permute traffic per bounce).
         # "state": the original whole-state re-sort + compaction
-        # schedules. $RUSTIC_SORT_MODE switches; mesh mode uses "state"
-        # (its shard_map wiring exists there).
+        # schedules. "auto" (default since round 5) picks per scene
+        # from the measured compaction pilot (_pick_sort_mode).
+        # $RUSTIC_SORT_MODE forces; mesh mode uses "state" (its
+        # shard_map wiring exists there).
         if mesh is None and os.environ.get(
             "RUSTIC_SHADE_KERNEL_MT", "0"
         ) == "1":
@@ -1030,7 +1032,13 @@ def render_batch_staged(
                 " — falling back to the XLA shade drivers",
                 stacklevel=2,
             )
-        if mesh is None and os.environ.get("RUSTIC_SORT_MODE", "rays") == "rays":
+        mode = os.environ.get("RUSTIC_SORT_MODE", "auto")
+        if mesh is None and mode == "auto":
+            mode = _pick_sort_mode(
+                scene, cfg, cam, px, py, offsets, sample_start, n_samples,
+                bt, interpret, prec,
+            )
+        if mesh is None and mode == "rays":
             return _render_batch_raysorted(
                 scene, cfg, cam, px, py, offsets, sample_start, n_samples,
                 film, bt, interpret, prec,
@@ -1702,6 +1710,37 @@ def _pilot_schedule(
             prev_nee, pending_shadow = nee
     host = [int(np.asarray(c)) for c in counts]
     return _quantize_schedule(host, lanes, bt, measured=ppx.shape[0])
+
+
+# Auto sort-mode threshold: the state-sorted driver's whole-state
+# permute overhead is ~15-30% (measured round 5: PBRTest 2.27 -> 1.62,
+# BreakTime 0.81 -> 0.68); its compaction saves (1 - work_fraction) of
+# every stage. Measured crossover on v5e (1280x720x16, 3 reps each):
+# GlassTest W=0.594 state WINS +39% (2.46 -> 3.42), PBRTest W=0.812
+# LOSES -29%, VeachMIS W=0.875 loses. 0.7 splits the measured points.
+_STATE_SORT_MAX_W = float(os.environ.get("RUSTIC_STATE_SORT_MAX_W", "0.7"))
+
+
+def _pick_sort_mode(
+    scene, cfg, cam, px, py, offsets, sample_start, n_samples, bt,
+    interpret, prec,
+) -> str:
+    """Pick the multi-tile driver from the measured compaction pilot:
+    'state' (whole-state re-sort + compaction schedules) when enough
+    lanes retire early for the head-slicing to outweigh the permute
+    traffic, else 'rays' (pixel-stationary state). The pilot is the
+    same cached strided probe the state driver uses for its schedules
+    (one probe per scene/config/camera; ~0.3 s once)."""
+    fold = pick_sample_fold(px.shape[0], n_samples, sorted_path=True)
+    lanes = px.shape[0] * fold
+    schedule = _cached_pilot_schedule(
+        scene, cfg, cam, px, py, offsets, sample_start, lanes, bt,
+        interpret, prec,
+    )
+    if schedule is None:
+        return "rays"  # no usable schedule -> compaction can't pay
+    work = (lanes + sum(schedule)) / (cfg.max_bounces * lanes)
+    return "state" if work <= _STATE_SORT_MAX_W else "rays"
 
 
 def _render_batch_sorted(
